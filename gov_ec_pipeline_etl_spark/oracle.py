@@ -1,0 +1,132 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a registered query's Spark plan and its ANSI-SQL oracle on DuckDB over
+the same parquet tables, canonicalizes both results (column-name sort,
+row sort, type normalization), and diffs them. Used by tests/ and the
+``python -m gov_ec_pipeline_etl_spark.oracle`` CLI so every operator is
+verified before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from gov_ec_pipeline_etl_spark.tables import TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _canon_value(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        if v == 0.0:
+            return 0.0  # collapse -0.0
+        return float(v)
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        if pd.isna(v):
+            return None
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bool,)):
+        return bool(v)
+    if isinstance(v, (int,)):
+        return int(v)
+    if hasattr(v, "item"):  # numpy scalars
+        return _canon_value(v.item())
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    if pd.isna(v):
+        return None
+    return v
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [tuple(_canon_value(v) for v in rec) for rec in pdf.itertuples(index=False)]
+    rows.sort(key=lambda r: tuple(repr(x) for x in r))
+    return rows
+
+
+def compare(
+    spark_df, oracle_sql: str, sf_dir: str, con: duckdb.DuckDBPyConnection | None = None
+) -> tuple[bool, str]:
+    """Return (match, message). Message describes the first divergence."""
+    own_con = con is None
+    if own_con:
+        con = duckdb_connection(sf_dir)
+    try:
+        spark_pdf = spark_df.toPandas()
+        duck_pdf = con.execute(oracle_sql).fetchdf()
+    finally:
+        if own_con:
+            con.close()
+
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        return False, f"column mismatch: spark={s_cols} duckdb={d_cols}"
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"row count mismatch: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
+    s_rows, d_rows = canonical_rows(spark_pdf), canonical_rows(duck_pdf)
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        if a != b:
+            return False, f"row {i} differs (cols {s_cols}):\n  spark : {a}\n  duckdb: {b}"
+    return True, f"ok ({len(s_rows)} rows)"
+
+
+def run_all(sf_dir: str, names: list[str] | None = None, spark=None) -> dict[str, str]:
+    """Run every registered query with an oracle; return name → status."""
+    from gov_ec_pipeline_etl_spark.plans import all_queries
+    from gov_ec_pipeline_etl_spark.session import get_spark
+
+    spark = spark or get_spark("oracle-parity")
+    con = duckdb_connection(sf_dir)
+    out: dict[str, str] = {}
+    try:
+        for name, q in sorted(all_queries().items()):
+            if names and name not in names:
+                continue
+            if q.oracle is None:
+                try:
+                    n = q.spark(spark, sf_dir).count()
+                    out[name] = f"rows-only ({n} rows)"
+                except Exception as e:  # noqa: BLE001
+                    out[name] = f"ERROR {type(e).__name__}: {e}"
+                continue
+            try:
+                ok, msg = compare(q.spark(spark, sf_dir), q.oracle, sf_dir, con)
+                out[name] = ("OK " if ok else "MISMATCH ") + msg
+            except Exception as e:  # noqa: BLE001
+                out[name] = f"ERROR {type(e).__name__}: {e}"
+    finally:
+        con.close()
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or None
+    failed = 0
+    for name, status in run_all(sf_dir, names).items():
+        print(f"{name}: {status}")
+        if not (status.startswith("OK") or status.startswith("rows-only")):
+            failed += 1
+    sys.exit(1 if failed else 0)

@@ -1,0 +1,66 @@
+"""Query registry: name → (Spark plan, DuckDB oracle SQL, metadata)."""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "Query"] = {}
+
+# Modules that register queries on import. Kept explicit so a broken module
+# surfaces loudly instead of silently shrinking the surface.
+_QUERY_MODULES = [
+    "gov_ec_pipeline_etl_spark.plans.relational",
+    "gov_ec_pipeline_etl_spark.plans.windows",
+    "gov_ec_pipeline_etl_spark.plans.reference_semantics",
+    "gov_ec_pipeline_etl_spark.plans.dedup_queries",
+    "gov_ec_pipeline_etl_spark.plans.text_queries",
+    "gov_ec_pipeline_etl_spark.plans.similarity_queries",
+    "gov_ec_pipeline_etl_spark.plans.streaming_queries",
+]
+
+
+@dataclass
+class Query:
+    """A declared engine capability.
+
+    ``oracle`` is ANSI SQL executable by DuckDB over the pre-registered
+    parquet views; ``None`` marks a genuinely non-SQL-expressible operator
+    (the driver then records a weaker rows-only check).
+    """
+
+    name: str
+    spark: SparkQuery
+    oracle: str | None
+    doc: str = ""
+    bench: bool = False  # included in bench.py headline set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(
+            name=name, spark=fn, oracle=oracle, doc=doc, bench=bench, tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return dict(_REGISTRY)

@@ -1,0 +1,194 @@
+"""Window-function surface: ranking, running aggregates, lag/lead, as-of join.
+
+ABSENT in the reference except one dedup-by-latest pattern (SURVEY.md §2.10
+DD2); Spark windows supply the full surface. The as-of join is implemented
+with the union + conditional-last-value pattern — linear in input size and
+shuffle-partitioned by the join key, unlike a naive range join which
+explodes quadratically per key at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from gov_ec_pipeline_etl_spark.plans.registry import register
+from gov_ec_pipeline_etl_spark.plans.util import T
+
+
+@register(
+    "q20_topk_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, rnk FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                 ) AS rnk
+          FROM orders
+        ) WHERE rnk <= 3
+    """,
+    doc="Top-k per group via row_number window; deterministic tie-break on "
+    "the key column.",
+    bench=True,
+    tags=("window", "topk"),
+)
+def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "q21_running_sum",
+    oracle="""
+        SELECT event_id,
+               ROUND(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 4) AS running_value
+        FROM events
+    """,
+    doc="Per-user running sum in event-time order (explicit ROWS frame; "
+    "deterministic tie-break so both engines accumulate identically).",
+    tags=("window",),
+)
+def q21_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf_dir, "events").select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+@register(
+    "q22_lag_delta",
+    oracle="""
+        SELECT event_id,
+               ROUND(value - LAG(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ), 4) AS delta
+        FROM events
+    """,
+    doc="LAG-based delta vs previous event per user.",
+    tags=("window",),
+)
+def q22_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@register(
+    "q23_moving_avg",
+    oracle="""
+        SELECT event_id,
+               ROUND(AVG(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ), 6) AS mavg
+        FROM events
+    """,
+    doc="Sliding-frame moving average (ROWS 3 PRECEDING).",
+    tags=("window",),
+)
+def q23_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return T(spark, sf_dir, "events").select(
+        "event_id", F.round(F.avg("value").over(w), 6).alias("mavg")
+    )
+
+
+@register(
+    "q24_segment_rank",
+    oracle="""
+        SELECT c_mktsegment, c_custkey, rnk FROM (
+          SELECT c_mktsegment, c_custkey,
+                 RANK() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey
+                 ) AS rnk
+          FROM customer
+        ) WHERE rnk <= 5
+    """,
+    doc="RANK within segment, top-5.",
+    tags=("window", "topk"),
+)
+def q24_segment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        T(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", F.rank().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "q25_asof_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               epoch_us(c.ts) AS click_ts_us,
+               c.value        AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join: for each purchase, the most recent click at-or-before "
+    "it per user. Implemented as union + conditional last_value over a "
+    "rows-frame window — one shuffle on user_id, linear in events, no "
+    "per-key quadratic range join (the 100 TB-safe as-of pattern).",
+    bench=True,
+    tags=("asof-join", "window"),
+)
+def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    # kind orders clicks before purchases at identical timestamps so an
+    # equal-ts click is visible to the purchase (ASOF >= semantics).
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(
+        F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    click_value = F.last(
+        F.when(F.col("kind") == 0, F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.select(
+            "event_id",
+            "kind",
+            F.unix_micros(click_ts).alias("click_ts_us"),
+            click_value.alias("click_value"),
+        )
+        .where(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"), "click_ts_us", "click_value"
+        )
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local tests run on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads), but
+every default here is chosen to also hold on a 1000-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion) — the single most important knob at
+  100 TB where static planning guesses wrong.
+- Arrow-accelerated Pandas UDF transfer for the few Python-side operators.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  across driver/executor locales (the reference pipeline used naive
+  timestamps; see SURVEY.md §1.2 / etl/transform.py:170-172).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dim tables (region/nation/supplier/part at typical ratios) should
+    # broadcast; 64 MB is safe with multi-GB executors.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Local-mode shuffle width; on a real cluster AQE coalesces from a
+    # high initial number, so set initialPartitionNum instead of relying
+    # on a tiny static value.
+    "spark.sql.shuffle.partitions": "64",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+    # 128 MB split targets keep scan tasks balanced on wide parquet.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "gov-ec-pipeline-etl-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    The driver harness passes its own session into ``__spark_entry__``
+    functions; this factory is for tests, ``bench.py``, and standalone use.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

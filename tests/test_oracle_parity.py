@@ -1,0 +1,45 @@
+"""Every registered query with an oracle must match DuckDB — the local
+replica of the driver's t2 correctness gate (sf0.001 for speed; the
+``python -m gov_ec_pipeline_etl_spark.oracle`` CLI covers sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gov_ec_pipeline_etl_spark.oracle import compare, duckdb_connection
+from gov_ec_pipeline_etl_spark.plans import all_queries
+from tests.conftest import SF_SMOKE
+
+QUERIES = sorted(all_queries().items())
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", [n for n, q in QUERIES if q.oracle is not None])
+def test_oracle_parity(spark, duck, name):
+    q = all_queries()[name]
+    ok, msg = compare(q.spark(spark, SF_SMOKE), q.oracle, SF_SMOKE, duck)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", [n for n, q in QUERIES if q.oracle is None])
+def test_rows_only_queries_run(spark, name):
+    q = all_queries()[name]
+    df = q.spark(spark, SF_SMOKE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 19
