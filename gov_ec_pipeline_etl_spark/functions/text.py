@@ -31,11 +31,14 @@ def strip_accents_py(s: str | None) -> str | None:
 
 
 def norm_text_py(s: str | None) -> str | None:
-    """Null-safe: strip → accent-strip → lower → collapse whitespace."""
+    """Null-safe: accent-strip → lower → collapse whitespace → strip.
+    Trimming happens AFTER accent-stripping because NFKD can introduce
+    whitespace (e.g. '¨' → space + combining diaeresis) — this order makes
+    the function idempotent."""
     if s is None:
         return None
-    s = strip_accents_py(s.strip()).lower()
-    return re.sub(r"\s+", " ", s)
+    s = strip_accents_py(s).lower()
+    return re.sub(r"\s+", " ", s).strip()
 
 
 def norm_colname_py(name: str) -> str:
@@ -61,17 +64,17 @@ def strip_accents(col: Column | str) -> Column:
 
 
 def norm_text(col: Column | str) -> Column:
-    """Spark composition mirroring norm_text_py: trim → accent-strip →
-    lower → collapse internal whitespace. Null-safe throughout."""
+    """Spark composition mirroring norm_text_py: accent-strip → lower →
+    collapse whitespace → trim. Null-safe throughout."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(strip_accents(F.trim(c))), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(strip_accents(c)), r"\s+", " "))
 
 
 def norm_text_ascii(col: Column | str) -> Column:
     """Accent-free fast path of norm_text: pure builtins, fully
     codegen'd — use when input is known 7-bit (e.g. synthetic corpora)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def norm_colname(name: str) -> str:

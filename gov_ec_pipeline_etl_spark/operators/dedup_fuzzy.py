@@ -1,0 +1,309 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- Candidate generation NEVER compares all pairs. MinHash uses banded LSH
+  (explode factor = #bands per doc, shuffle on band key); SimHash uses
+  chunk-LSH on fingerprint segments; n-gram Jaccard uses an inverted
+  index over rare shingles with a bucket-size cap.
+- Verification (exact Jaccard / Hamming) runs only on candidate pairs.
+- Everything is built-in array/bit expressions — no Python in the hot
+  path. ``portable=True`` selects the md5-based cross-engine hash
+  (oracle-checkable); ``portable=False`` selects native xxhash64 for
+  production speed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from gov_ec_pipeline_etl_spark.functions.hashing import hash64
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of the whitespace-normalized text.
+    Documents with fewer than k words yield the whole text as one shingle."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(F.when(n >= k, shingled).otherwise(F.array(norm)))
+
+
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 123) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (a < 2^31 keeps a*h32 < 2^63 —
+    no bigint overflow in either engine)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**31 - 1, size=num_hashes)
+    b = rng.integers(0, 2**31 - 1, size=num_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 12, portable: bool = True
+) -> Column:
+    """Array of ``num_hashes`` min-hash values over the shingle set.
+
+    One base hash per shingle (the expensive part), then a universal-hash
+    family ``(a_i*h32 + b_i) mod P`` per signature slot — num_hashes×
+    cheaper than hashing each (shingle, seed) pair, and still
+    bit-identical across engines.
+    """
+    base = F.transform(
+        shingles, lambda s: hash64(s, 0, portable) % F.lit(2**32)
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+            )
+        )
+        for a, b in minhash_coeffs(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """LSH band keys: md5 of each contiguous ``rows``-slice of the
+    signature. Two docs sharing any band key become candidates."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws(",", F.slice(signature, b * rows + 1, rows)))
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan: per-doc shingle+signature map stage → explode bands →
+    self-join on (band_idx, band_key) → distinct candidate pairs →
+    exact-Jaccard verify on the shingle sets. The only shuffles are the
+    band join and the final distinct.
+    """
+    rows = num_hashes // bands
+    # The sketch table feeds three plan branches (two self-join sides +
+    # two verify join-backs); without persistence each branch recomputes
+    # shingling + hashing from the raw text. Cache it — the cluster-scale
+    # equivalent is writing the sketch table out once (Delta/parquet) and
+    # reusing it across dedup runs.
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, k).alias("shingles"),
+        )
+        .withColumn(
+            "bands",
+            band_keys(
+                minhash_signature(F.col("shingles"), num_hashes, portable),
+                bands,
+                rows,
+            ),
+        )
+        .persist()
+    )
+    # Candidate generation carries IDs only — the shingle arrays would
+    # otherwise be shuffled through the self-join and pair-dedup, which
+    # dominates cost at scale. Shingles are joined back for verification.
+    banded = sh.select(
+        "id", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_sets = sh.select("id", "shingles")
+    withsets = (
+        cand.join(
+            shingle_sets.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}),
+            "id_a",
+        )
+        .join(
+            shingle_sets.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        withsets.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- SimHash -------------------------------------------------------------
+
+SIMHASH_BITS = 60  # fits the portable 60-bit hash; keeps sign bit clear
+
+
+def simhash(col: Column | str, portable: bool = True) -> Column:
+    """60-bit SimHash over whitespace tokens: bit b is 1 iff at least half
+    of the token hashes have bit b set (majority vote, ties → 1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    hashes = F.transform(toks, lambda t: hash64(t, 0, portable))
+    n = F.size(hashes)
+    # shiftright/shiftleft via call_function: the Python wrappers only
+    # accept int shift amounts, but the SQL functions take expressions.
+    bit_contrib = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda bit: F.when(
+            2
+            * F.aggregate(
+                hashes,
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc
+                + F.call_function("shiftright", h, bit).bitwiseAND(F.lit(1)),
+            )
+            >= n,
+            F.call_function("shiftleft", F.lit(1).cast("bigint"), bit),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bit_contrib, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    chunks: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one of
+    ``chunks`` 15-bit fingerprint segments (pigeonhole: any pair within
+    Hamming distance < chunks must collide on ≥1 chunk); verified by
+    exact Hamming distance ≤ ``max_hamming``... candidate recall for
+    distances ≥ chunks is partial by design (standard chunk-LSH)."""
+    chunk_bits = SIMHASH_BITS // chunks
+    fp = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, portable).alias("fp")
+    ).persist()  # reused by both self-join sides; fingerprinting is the hot stage
+    chunked = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("fp"), i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "fp", "c.chunk_idx", "c.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- n-gram Jaccard via inverted index -----------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingles, candidates from an inverted
+    index: explode shingles, drop buckets larger than ``max_bucket``
+    (stopword-like shingles generate O(bucket²) pairs — at scale they are
+    noise, and dropping them is the documented recall trade), pair within
+    buckets, verify exactly."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
+    ).persist()  # feeds the inverted index and both verify join-backs
+    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    small = (
+        inv.groupBy("shingle")
+        .agg(F.collect_list("id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        small.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.col("ids"),
+                                lambda y: F.struct(
+                                    x.alias("id_a"), y.alias("id_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    withsets = (
+        pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .join(sh.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("shingles", "sh_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        withsets.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,1 +1,239 @@
-"""Placeholder — populated in this round."""
+"""Deduplication query surface over the ``documents`` table.
+
+Exact dedup plus the three near-dup families (MinHash+LSH, SimHash,
+n-gram Jaccard). The driver's corpus is clean, so each query builds a
+deterministic "dirty" corpus inline: every document unioned with a
+mutated copy (id + 1_000_000, text perturbed) — guaranteeing true
+near-dup pairs whose detection the DuckDB oracle independently verifies,
+including the sketch math (portable md5-based hash family, identical in
+both engines).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64_sql
+from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from gov_ec_pipeline_etl_spark.operators.textstats import content_fingerprint
+from gov_ec_pipeline_etl_spark.plans.registry import register
+from gov_ec_pipeline_etl_spark.plans.util import T
+
+MUT_OFFSET = 1_000_000
+
+# SQL fragment: the same dirty corpus on the DuckDB side.
+DIRTY_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MUT_OFFSET} AS doc_id, text || ' zz0 zz1 zz2' AS text
+  FROM documents
+"""
+
+# SQL fragments mirroring operators/dedup_fuzzy.py exactly.
+NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+TOKS_SQL = f"string_split({NORM_SQL}, ' ')"
+
+
+def shingles_sql(k: int) -> str:
+    return f"""
+      CASE WHEN len(toks) >= {k}
+        THEN list_distinct(list_transform(range(1, len(toks) - {k} + 2),
+               i -> array_to_string(toks[i:i + {k - 1}], ' ')))
+        ELSE [array_to_string(toks, ' ')]
+      END
+    """
+
+
+def _dirty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz0 zz1 zz2")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+@register(
+    "d01_exact_dedup",
+    oracle=f"""
+        WITH corpus AS ({DIRTY_SQL.replace("|| ' zz0 zz1 zz2'", "")})
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS keep_id
+        FROM corpus
+        GROUP BY fp
+        HAVING COUNT(*) > 1
+    """,
+    doc="Exact dedup: hash-groupBy on the normalized-content fingerprint; "
+    "keeps the minimum id as representative. Map-side partial aggregation "
+    "→ one shuffle on the 128-bit fingerprint, no pairwise work.",
+    bench=True,
+    tags=("dedup", "llm-pipeline"),
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + MUT_OFFSET).alias("doc_id"), "text")
+    )
+    return (
+        corpus.select("doc_id", content_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def _minhash_oracle(k: int = 3, num_hashes: int = 12, bands: int = 4) -> str:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        MINHASH_PRIME,
+        minhash_coeffs,
+    )
+
+    rows = num_hashes // bands
+    base = (
+        f"list_transform(shingles, s -> {portable_hash64_sql('s', 0)} % 4294967296)"
+    )
+    sig_terms = ",\n".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_coeffs(num_hashes)
+    )
+    band_terms = ",\n".join(
+        f"{{'idx': {b}, 'key': md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], ','))}}"
+        for b in range(bands)
+    )
+    return f"""
+        WITH corpus AS ({DIRTY_SQL}),
+        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+        sh AS (SELECT doc_id, {shingles_sql(k)} AS shingles FROM toksed),
+        based AS (SELECT doc_id, shingles, {base} AS base FROM sh),
+        sig AS (SELECT doc_id, shingles, [{sig_terms}] AS sig FROM based),
+        banded AS (
+          SELECT doc_id, shingles, unnest([{band_terms}]) AS band FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.shingles AS sh_a, b.shingles AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band.idx = b.band.idx AND a.band.key = b.band.key
+           AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                     / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+                 AS jaccard
+        FROM cand
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
+    """
+
+
+@register(
+    "d02_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash + banded LSH near-dup pairs (shingle → 12-hash signature "
+    "→ 4 bands → bucket self-join → exact-Jaccard verify ≥ 0.5). The "
+    "oracle recomputes the identical sketch in SQL, so signature math is "
+    "cross-engine verified, not just row counts.",
+    bench=True,
+    tags=("dedup", "minhash", "lsh", "llm-pipeline"),
+)
+def d02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _dirty_docs(spark, sf_dir), "doc_id", "text",
+        k=3, num_hashes=12, bands=4, jaccard_threshold=0.5,
+    ).withColumnsRenamed({"id_a": "id_a", "id_b": "id_b"})
+
+
+def _simhash_oracle(chunks: int = 4, chunk_bits: int = 15, max_hamming: int = 8) -> str:
+    chunk_terms = ",\n".join(
+        f"{{'idx': {i}, 'val': (fp >> {i * chunk_bits}) & {(1 << chunk_bits) - 1}}}"
+        for i in range(chunks)
+    )
+    return f"""
+        WITH corpus AS ({DIRTY_SQL}),
+        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(toks, t -> {portable_hash64_sql('t', 0)}) AS hashes
+          FROM toksed
+        ),
+        fps AS (
+          SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h >> b) & 1))
+                      >= len(hashes)
+                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS fp
+          FROM hashed
+        ),
+        chunked AS (SELECT doc_id, fp, unnest([{chunk_terms}]) AS c FROM fps)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM chunked a JOIN chunked b
+          ON a.c.idx = b.c.idx AND a.c.val = b.c.val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+@register(
+    "d03_simhash",
+    oracle=_simhash_oracle(),
+    doc="SimHash near-dup pairs: 60-bit majority-vote fingerprint over "
+    "token hashes, chunk-LSH candidates (4×15-bit segments), Hamming ≤ 8 "
+    "verify. Oracle recomputes the full bit math in SQL.",
+    tags=("dedup", "simhash", "lsh", "llm-pipeline"),
+)
+def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(
+        _dirty_docs(spark, sf_dir), "doc_id", "text", max_hamming=8, chunks=4
+    )
+
+
+def _ngram_oracle(k: int = 3, max_bucket: int = 50) -> str:
+    return f"""
+        WITH corpus AS ({DIRTY_SQL}),
+        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+        sh AS (SELECT doc_id, {shingles_sql(k)} AS shingles FROM toksed),
+        inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        counts AS (SELECT shingle, COUNT(*) AS c FROM inv GROUP BY shingle),
+        small AS (
+          SELECT i.shingle, i.doc_id FROM inv i
+          JOIN counts USING (shingle) WHERE c BETWEEN 2 AND {max_bucket}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM small a JOIN small b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+    """
+
+
+@register(
+    "d04_ngram_jaccard",
+    oracle=_ngram_oracle(),
+    doc="Exact n-gram Jaccard with inverted-index candidate generation "
+    "(buckets capped at 50 ids — the documented recall/speed trade for "
+    "stopword-like shingles at scale).",
+    tags=("dedup", "jaccard", "llm-pipeline"),
+)
+def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _dirty_docs(spark, sf_dir), "doc_id", "text",
+        k=3, jaccard_threshold=0.5, max_bucket=50,
+    )

@@ -1,1 +1,111 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search query surface over ``embeddings``.
+
+s01 (brute-force exact) and s02 (threshold near-dup) are oracle-checked
+against DuckDB list arithmetic; s03 is the LSH scale path whose recall
+is validated in unit tests against the brute-force baseline (rows-only
+for the driver, as an approximate operator has no exact SQL oracle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gov_ec_pipeline_etl_spark.operators.similarity import (
+    cosine_near_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from gov_ec_pipeline_etl_spark.plans.registry import register
+from gov_ec_pipeline_etl_spark.plans.util import T
+
+_COS_SQL = """
+  list_dot_product(a.emb_d, b.emb_d)
+  / (sqrt(list_dot_product(a.emb_d, a.emb_d)) * sqrt(list_dot_product(b.emb_d, b.emb_d)))
+"""
+
+
+@register(
+    "s01_cosine_topk",
+    oracle=f"""
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 {_COS_SQL} AS cos
+          FROM vecs a, vecs b
+          WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, rnk FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                 ) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+    """,
+    doc="Exact brute-force cosine top-5 for 10 query vectors: broadcast "
+    "queries × corpus scan, zip_with/aggregate dot products, window "
+    "top-k. The exact-recall baseline every ANN variant is judged "
+    "against.",
+    bench=True,
+    tags=("similarity", "llm-pipeline"),
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "s02_embedding_neardup",
+    oracle=f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+          FROM embeddings
+        ),
+        vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+          FROM corpus
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COS_SQL}, 3) AS cos_r
+        FROM vecs a, vecs b
+        WHERE a.vec_id < b.vec_id
+          AND {_COS_SQL} >= 0.999
+    """,
+    doc="Embedding near-duplicate pairs (cosine ≥ 0.999) on a corpus "
+    "with planted scaled copies (scaling preserves cosine). Oracle runs "
+    "the exact quadratic variant; engine uses the same exact mode here "
+    "(LSH-bucketed mode is the scale path, exercised in s03/unit tests).",
+    tags=("similarity", "dedup", "llm-pipeline"),
+)
+def s02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return cosine_near_pairs(corpus, threshold=0.999, bucketed=False)
+
+
+@register(
+    "s03_ann_lsh_topk",
+    oracle=None,  # approximate operator: recall vs brute force is unit-tested
+    doc="Random-hyperplane LSH ANN top-5: bucket join + exact rerank. "
+    "The production path at corpus scale — the corpus is bucketed once "
+    "and reused; per-query work is one bucket, not the full corpus.",
+    tags=("similarity", "ann", "lsh", "llm-pipeline"),
+)
+def s03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=8
+    )

@@ -1,1 +1,77 @@
-"""Placeholder — populated in this round."""
+"""Streaming query surface (SURVEY.md §2.14 — ABSENT in reference,
+supplied natively by Structured Streaming; the engine exposes it as
+first-class, oracle-checked where batch-equivalent).
+
+st01 runs a REAL streaming query (file source → watermarked tumbling
+window → memory sink, Trigger.AvailableNow); its oracle is the batch
+equivalence guarantee of complete-mode windowed aggregation. st02 is
+session windowing, oracled by a gaps-and-islands SQL rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gov_ec_pipeline_etl_spark.plans.registry import register
+from gov_ec_pipeline_etl_spark.plans.util import T
+from gov_ec_pipeline_etl_spark.streaming.events import (
+    run_tumbling_window_stream,
+    session_window_agg,
+)
+
+
+@register(
+    "st01_tumbling_window_stream",
+    oracle="""
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY window_start_us, event_type
+    """,
+    doc="True Structured Streaming execution: parquet file source → "
+    "10-min watermark → 1-hour tumbling windows per event_type → memory "
+    "sink (complete mode, Trigger.AvailableNow). Complete-mode windowed "
+    "aggregation over a finite replay equals the batch GROUP BY — which "
+    "is exactly what the oracle checks.",
+    tags=("streaming", "window"),
+)
+def st01_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_tumbling_window_stream(spark, sf_dir)
+
+
+@register(
+    "st02_session_window",
+    oracle="""
+        WITH marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL 5 MINUTE
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM marked
+        )
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS session_start_us,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    doc="Session windows (5-minute gap merge) per user via "
+    "F.session_window — oracled by the classic gaps-and-islands "
+    "rewrite. Same operator streams with a watermark in production.",
+    bench=True,
+    tags=("streaming", "session-window"),
+)
+def st02_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(T(spark, sf_dir, "events"), gap="5 minutes")

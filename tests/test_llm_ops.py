@@ -1,0 +1,105 @@
+"""Unit tests for the LLM-pipeline operators: fuzzy dedup correctness on
+planted near-dups, ANN recall vs brute force, text stats edge cases."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from gov_ec_pipeline_etl_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from gov_ec_pipeline_etl_spark.operators.textstats import (
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different words about spark catalyst optimizer plans"),
+    (4, "el gato y el perro y la casa de la abuela que canta"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_pair(docs_df):
+    pairs = minhash_lsh_pairs(
+        docs_df, "doc_id", "text", k=3, num_hashes=12, bands=6,
+        jaccard_threshold=0.5,
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    assert pairs[0].jaccard > 0.6
+
+
+def test_ngram_jaccard_finds_planted_pair(docs_df):
+    pairs = ngram_jaccard_pairs(docs_df, "doc_id", "text", k=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_simhash_near_dup(docs_df):
+    pairs = simhash_pairs(docs_df, "doc_id", "text", max_hamming=12).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of to in the house"),
+            (2, "el perro de la casa y el gato que canta bien"),
+            (3, "xyzzy plugh"),
+            (4, ""),
+        ],
+        ["i", "text"],
+    )
+    rows = {
+        r.i: r
+        for r in df.select(
+            "i",
+            lang_id("text").alias("lang"),
+            token_count("text").alias("n"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert rows[1].lang == "en"
+    assert rows[2].lang == "es"
+    assert rows[3].lang == "und"
+    assert rows[4].n == 0
+    assert 0.0 <= rows[3].q <= 1.0
+
+
+def test_ann_recall_vs_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    # 10 clusters of 4 near-identical vectors → meaningful neighbors
+    vecs = [
+        (i, (base[i // 4 * 4] + 0.01 * rng.standard_normal(16).astype("float32")).tolist())
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = df.where(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, df, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_cosine_topk(queries, df, k=3, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # 4-plane LSH on tight clusters: most survive
