@@ -22,6 +22,7 @@ _QUERY_MODULES = [
     "gov_ec_pipeline_etl_spark.plans.text_queries",
     "gov_ec_pipeline_etl_spark.plans.similarity_queries",
     "gov_ec_pipeline_etl_spark.plans.streaming_queries",
+    "gov_ec_pipeline_etl_spark.plans.multimodal_queries",
 ]
 
 

@@ -1,0 +1,168 @@
+"""State diff scenarios (FIXTURES.md §D), upsert idempotency, audit
+protocol, artifact oversize policy, and the full pipeline with
+commit-gated state promotion."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from gov_ec_pipeline_etl_spark.sinks.artifacts import upload_tree
+from gov_ec_pipeline_etl_spark.sinks.audit import AuditLedger
+from gov_ec_pipeline_etl_spark.sinks.upsert import read_table, upsert_parquet
+from gov_ec_pipeline_etl_spark.sources.state import (
+    ResourceState,
+    diff_resources,
+    load_state,
+    save_state,
+    seed_state,
+)
+
+RES = {
+    "id": "r1",
+    "last_modified": "2025-01-01T00:00:00Z",
+    "size": 123,
+    "url": "https://x/f.xlsx",
+    "format": "XLSX",
+}
+
+
+def test_state_diff_scenarios(tmp_path):
+    # missing state → everything new
+    todo, unchanged, reasons = diff_resources([RES], ResourceState.empty())
+    assert [r["id"] for r in todo] == ["r1"] and reasons["r1"] == ["new"]
+
+    st = seed_state([RES])
+    # unchanged fingerprint → zero work
+    todo, unchanged, _ = diff_resources([RES], st)
+    assert todo == [] and [r["id"] for r in unchanged] == ["r1"]
+
+    # timestamp normalization: same instant, different rendering → unchanged
+    res2 = dict(RES, last_modified="2025-01-01T05:00:00+05:00")
+    todo, unchanged, _ = diff_resources([res2], st)
+    assert todo == []
+
+    # one field changed per kind → reasons list
+    for field, val in [
+        ("last_modified", "2025-02-02T00:00:00Z"),
+        ("size", 999),
+        ("url", "https://x/g.xlsx"),
+        ("format", "CSV"),
+    ]:
+        todo, _, reasons = diff_resources([dict(RES, **{field: val})], st)
+        assert reasons["r1"] == [field], field
+
+    # round-trip persistence (atomic write)
+    p = str(tmp_path / "state.json")
+    save_state(st, p)
+    assert load_state(p).resources == st.resources
+    assert load_state(str(tmp_path / "missing.json")) is None  # stateless mode
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    target = str(tmp_path / "table")
+    df1 = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "surrogate_id: string, v: bigint"
+    )
+    m1 = upsert_parquet(spark, df1, target)
+    assert m1 == {"rows_upserted": 2, "rows_matched": 0, "rows_inserted": 2}
+    # same batch again → idempotent
+    m2 = upsert_parquet(spark, df1, target)
+    assert m2["rows_matched"] == 2 and m2["rows_inserted"] == 0
+    assert read_table(spark, target).count() == 2
+    # update one, insert one
+    df2 = spark.createDataFrame(
+        [("b", 20), ("c", 3)], "surrogate_id: string, v: bigint"
+    )
+    upsert_parquet(spark, df2, target)
+    rows = {r.surrogate_id: r.v for r in read_table(spark, target).collect()}
+    assert rows == {"a": 1, "b": 20, "c": 3}
+
+
+def test_audit_protocol(tmp_path):
+    led = AuditLedger(str(tmp_path / "audit"))
+    led.open_run("run1")
+    assert led.runs()["run1"]["status"] == "error"  # crash-honest placeholder
+    led.record_resource("run1", "r1", {"rows_in": 5, "rows_out": 4})
+    led.close_run("run1", "ok", {"rows_in_total": 5})
+    final = led.runs()["run1"]
+    assert final["status"] == "ok" and final["rows_in_total"] == 5
+
+
+def test_artifact_oversize_policy(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "small.txt").write_text("hello")
+    (src / "big.bin").write_bytes(b"x" * 2_000_000)
+    dest = tmp_path / "dest"
+    results = upload_tree(str(src), str(dest), max_mb=1.0, mode="manifest")
+    by_status = {os.path.basename(r["file"]): r["status"] for r in results}
+    assert by_status == {"small.txt": "uploaded", "big.bin": "manifest"}
+    manifest = json.loads((dest / "big.bin.oversize.json").read_text())
+    assert manifest["size"] == 2_000_000 and len(manifest["sha256"]) == 64
+    with pytest.raises(ValueError):
+        upload_tree(str(src), str(dest), max_mb=0.001, mode="strict")
+
+
+def test_full_pipeline_incremental(spark, tmp_path):
+    """Two runs: second run skips unchanged resources; failed transform
+    does not promote state."""
+    import pandas as pd
+
+    from gov_ec_pipeline_etl_spark.etl_pipeline import run_etl
+
+    work = str(tmp_path / "work")
+    csv = tmp_path / "r1.csv"
+    pd.DataFrame(
+        {
+            "Código ICCS": ["0101", "0102"],
+            "Fecha Detención Aprehensión": ["2024-01-01", "2024-01-02"],
+            "Presunta Infracción": ["ROBO", "HURTO"],
+            "Nombre Provincia": ["Azuay", "Guayas"],
+            "Código Provincia": ["01", "09"],
+            "Código Cantón": ["0101", "0901"],
+        }
+    ).to_csv(csv, index=False)
+    res = [
+        {
+            "id": "r1",
+            "path": str(csv),
+            "last_modified": "2025-01-01T00:00:00Z",
+            "size": 1,
+            "url": "file://r1",
+            "format": "CSV",
+        }
+    ]
+    cfg = os.path.join(
+        os.path.dirname(__file__), "..", "configs", "detenidos.yaml"
+    )
+    r1 = run_etl(spark, cfg, res, work)
+    assert r1.status == "ok"
+    assert r1.reports["r1"]["rows_out"] == 2
+    assert r1.upsert_metrics["r1"]["rows_inserted"] == 2
+
+    # run again, nothing changed → zero work, state intact
+    r2 = run_etl(spark, cfg, res, work)
+    assert r2.skipped_unchanged == ["r1"] and r2.reports == {}
+
+    # changed resource with a critical failure → error, state NOT promoted
+    pd.DataFrame(
+        {
+            "Código ICCS": ["0103"],
+            "Fecha Detención Aprehensión": ["2024-01-03"],
+            "Presunta Infracción": [None],
+            "Nombre Provincia": ["Azuay"],
+        }
+    ).to_csv(csv, index=False)
+    res_changed = [dict(res[0], size=2)]
+    with pytest.raises(Exception, match="presunta_infraccion"):
+        run_etl(spark, cfg, res_changed, work)
+    state = json.loads((tmp_path / "work" / "state.json").read_text())
+    assert state["resources"]["r1"]["size"] == 1  # old fingerprint kept
+    # table unchanged by the failed run
+    from gov_ec_pipeline_etl_spark.sinks.upsert import read_table
+
+    table_dir = os.path.join(work, "table", "detenidos_aprehendidos")
+    assert read_table(spark, table_dir).count() == 2
