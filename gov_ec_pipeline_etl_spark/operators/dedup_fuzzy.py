@@ -15,9 +15,70 @@ Design for 100 TB:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from gov_ec_pipeline_etl_spark.functions.hashing import hash64
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, s) rows: the DISTINCT k-word shingles of each document.
+
+    Row formulation of ``word_shingles`` (same sets): tokens explode to
+    rows, shingles assemble via window ``lead`` — everything stays in
+    whole-stage codegen, unlike array higher-order lambdas which Catalyst
+    interprets per element (~15× slower at sf0.1). One shuffle on id.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("norm"),
+        F.size(F.split(norm, " ")).alias("n"),
+    )
+    small = base.where(F.col("n") < k).select("id", F.col("norm").alias("s"))
+    toks = base.where(F.col("n") >= k).select(
+        "id", F.posexplode(F.split("norm", " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("t", j).over(w) for j in range(1, k)]
+    full = (
+        toks.select(
+            "id",
+            F.concat_ws(" ", F.col("t"), *leads).alias("s"),
+            leads[-1].isNotNull().alias("full"),
+        )
+        .where("full")
+        .select("id", "s")
+    )
+    return full.unionByName(small).distinct()
+
+
+def jaccard_verify(
+    cand: DataFrame, rows: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from shingle ROWS (no arrays):
+    shared-shingle counts via two hash joins, sizes via one aggregate.
+    Pairs sharing nothing drop out (jaccard 0 < threshold always)."""
+    sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(
+            rows.withColumnsRenamed({"id": "id_a"}), "id_a"
+        )
+        .join(rows.withColumnsRenamed({"id": "id_b"}), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
@@ -101,32 +162,46 @@ def minhash_lsh_pairs(
     band join and the final distinct.
     """
     rows = num_hashes // bands
-    # The sketch table feeds three plan branches (two self-join sides +
-    # two verify join-backs); without persistence each branch recomputes
-    # shingling + hashing from the raw text. Cache it — the cluster-scale
-    # equivalent is writing the sketch table out once (Delta/parquet) and
-    # reusing it across dedup runs.
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(text_col, k).alias("shingles"),
-        )
-        .withColumn(
-            "bands",
-            band_keys(
-                minhash_signature(F.col("shingles"), num_hashes, portable),
-                bands,
-                rows,
-            ),
-        )
-        .persist()
+    # The shingle-row table feeds the signature aggregation and the
+    # verification joins; without persistence each branch recomputes
+    # shingling from raw text. Cache it — the cluster-scale equivalent is
+    # writing the sketch table out once (Delta/parquet) and reusing it.
+    sh = shingle_rows(df, id_col, text_col, k).persist()
+    # Signature via groupBy min-aggregates: the per-row affine hashes run
+    # inside whole-stage codegen.
+    exploded = sh.withColumn(
+        "h", hash64(F.col("s"), 0, portable) % F.lit(2**32)
+    )
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"s{i}"
+            )
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+    )
+    banded_keys = sig.select(
+        "id",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", *[F.col(f"s{b * rows + r}") for r in range(rows)]
+                        )
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        ).alias("bands"),
     )
     # Candidate generation carries IDs only — the shingle arrays would
     # otherwise be shuffled through the self-join and pair-dedup, which
     # dominates cost at scale. Shingles are joined back for verification.
-    banded = sh.select(
-        "id", F.posexplode("bands").alias("band_idx", "band_key")
-    )
+    banded = banded_keys.select(
+        "id", F.explode("bands").alias("bk")
+    ).select("id", "bk.band_idx", "bk.band_key")
     cand = (
         banded.alias("a")
         .join(
@@ -138,24 +213,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    shingle_sets = sh.select("id", "shingles")
-    withsets = (
-        cand.join(
-            shingle_sets.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}),
-            "id_a",
-        )
-        .join(
-            shingle_sets.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}),
-            "id_b",
-        )
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        withsets.withColumn("jaccard", inter / union)
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return jaccard_verify(cand, sh, jaccard_threshold)
 
 
 # --- SimHash -------------------------------------------------------------
@@ -190,6 +248,33 @@ def simhash(col: Column | str, portable: bool = True) -> Column:
     return F.aggregate(bit_contrib, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, portable: bool = True
+) -> DataFrame:
+    """(id, fp) via explode → 60 conditional-sum aggregates — the
+    codegen-friendly formulation of ``simhash`` (identical bit math;
+    the array-lambda version is interpreted per element by Catalyst)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(norm, " ")).alias("t")
+    ).withColumn("h", hash64(F.col("t"), 0, portable))
+    sums = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        contrib = F.when(
+            2 * F.col(f"b{b}") >= F.col("n"),
+            F.lit(1 << b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = contrib if fp is None else fp + contrib
+    return sums.select("id", fp.alias("fp"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -208,9 +293,8 @@ def simhash_pairs(
     exact Hamming distance ≤ ``max_hamming``... candidate recall for
     distances ≥ chunks is partial by design (standard chunk-LSH)."""
     chunk_bits = SIMHASH_BITS // chunks
-    fp = df.select(
-        F.col(id_col).alias("id"), simhash(text_col, portable).alias("fp")
-    ).persist()  # reused by both self-join sides; fingerprinting is the hot stage
+    fp = simhash_table(df, id_col, text_col, portable).persist()
+    # persisted: reused by both self-join sides; fingerprinting is the hot stage
     chunked = fp.select(
         "id",
         "fp",
@@ -262,48 +346,24 @@ def ngram_jaccard_pairs(
     (stopword-like shingles generate O(bucket²) pairs — at scale they are
     noise, and dropping them is the documented recall trade), pair within
     buckets, verify exactly."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
-    ).persist()  # feeds the inverted index and both verify join-backs
-    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    sh = shingle_rows(df, id_col, text_col, k).persist()
+    # inverted index: bucket sizes via window count over the shingle key —
+    # buckets over max_bucket are dropped (documented recall trade);
+    # pairing is a bucket self-join on the shingle.
+    counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
     small = (
-        inv.groupBy("shingle")
-        .agg(F.collect_list("id").alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        sh.join(counts.where(F.col("c").between(2, max_bucket)), "s")
+        .select("s", "id")
     )
     pairs = (
-        small.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("ids"),
-                            lambda x: F.transform(
-                                F.col("ids"),
-                                lambda y: F.struct(
-                                    x.alias("id_a"), y.alias("id_b")
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["id_a"] < p["id_b"],
-                )
-            ).alias("p")
+        small.alias("a")
+        .join(
+            small.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select("p.id_a", "p.id_b")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    withsets = (
-        pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .withColumnRenamed("shingles", "sh_a")
-        .join(sh.withColumnRenamed("id", "id_b"), "id_b")
-        .withColumnRenamed("shingles", "sh_b")
-    )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        withsets.withColumn("jaccard", F.round(jac, 6))
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # verification counts shared shingles over ALL rows (including those
+    # in dropped buckets) — the cap limits candidate generation only.
+    return jaccard_verify(pairs, sh, jaccard_threshold)

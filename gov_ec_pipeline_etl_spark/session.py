@@ -27,11 +27,12 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
-    # Local-mode shuffle width; on a real cluster AQE coalesces from a
-    # high initial number, so set initialPartitionNum instead of relying
-    # on a tiny static value.
+    # Local-mode shuffle width. AQE coalesces down from the initial
+    # number at runtime; 64 keeps task-dispatch overhead negligible on
+    # local[32]. On a real cluster RAISE initialPartitionNum (e.g. 2-4×
+    # total cores) and let AQE coalesce — never hand-tune per query.
     "spark.sql.shuffle.partitions": "64",
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "64",
     # 128 MB split targets keep scan tasks balanced on wide parquet.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
