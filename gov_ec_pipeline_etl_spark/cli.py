@@ -1,0 +1,119 @@
+"""Engine CLI (reference O6 analog — etl/get_status.py:65-103 state ops,
+plus run/bench entry points).
+
+    python -m gov_ec_pipeline_etl_spark.cli state show  <state.json>
+    python -m gov_ec_pipeline_etl_spark.cli state seed  <state.json> <catalog.json>
+    python -m gov_ec_pipeline_etl_spark.cli state diff  <state.json> <catalog.json>
+    python -m gov_ec_pipeline_etl_spark.cli run <config.yaml> <catalog.json> <work_dir>
+    python -m gov_ec_pipeline_etl_spark.cli oracle [sf_dir] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_catalog(path: str) -> list[dict]:
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    return data["resources"] if isinstance(data, dict) else data
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gov_ec_pipeline_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("state", help="incremental-state operations")
+    ps.add_argument("action", choices=["show", "seed", "diff"])
+    ps.add_argument("state_path")
+    ps.add_argument("catalog", nargs="?")
+
+    pr = sub.add_parser("run", help="end-to-end ETL run")
+    pr.add_argument("config")
+    pr.add_argument("catalog")
+    pr.add_argument("work_dir")
+
+    po = sub.add_parser("oracle", help="DuckDB parity gate")
+    po.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    po.add_argument("names", nargs="*")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "state":
+        from gov_ec_pipeline_etl_spark.sources.state import (
+            ResourceState,
+            diff_resources,
+            load_state,
+            save_state,
+            seed_state,
+        )
+
+        if args.action == "show":
+            st = load_state(args.state_path)
+            print(
+                json.dumps(
+                    {"resources": st.resources if st else None, "stateless": st is None},
+                    indent=2,
+                    sort_keys=True,
+                )
+            )
+            return 0
+        catalog = _load_catalog(args.catalog)
+        if args.action == "seed":
+            save_state(seed_state(catalog), args.state_path)
+            print(f"seeded {len(catalog)} resources → {args.state_path}")
+            return 0
+        st = load_state(args.state_path) or ResourceState.empty()
+        todo, unchanged, reasons = diff_resources(catalog, st)
+        print(
+            json.dumps(
+                {
+                    "to_process": [r["id"] for r in todo],
+                    "unchanged": [r["id"] for r in unchanged],
+                    "reasons": reasons,
+                },
+                indent=2,
+                sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "run":
+        from gov_ec_pipeline_etl_spark.etl_pipeline import run_etl
+        from gov_ec_pipeline_etl_spark.session import get_spark
+
+        spark = get_spark("gov-ec-pipeline-etl-run")
+        result = run_etl(spark, args.config, _load_catalog(args.catalog), args.work_dir)
+        print(
+            json.dumps(
+                {
+                    "run_id": result.run_id,
+                    "status": result.status,
+                    "skipped_unchanged": result.skipped_unchanged,
+                    "reports": result.reports,
+                    "upsert": result.upsert_metrics,
+                },
+                indent=2,
+                sort_keys=True,
+                default=str,
+            )
+        )
+        return 0 if result.status == "ok" else 1
+
+    if args.cmd == "oracle":
+        from gov_ec_pipeline_etl_spark.oracle import run_all
+
+        failed = 0
+        for name, status in run_all(args.sf_dir, args.names or None).items():
+            print(f"{name}: {status}")
+            if not (status.startswith("OK") or status.startswith("rows-only")):
+                failed += 1
+        return 1 if failed else 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

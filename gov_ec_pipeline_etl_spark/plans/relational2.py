@@ -1,0 +1,155 @@
+"""Second relational batch: percentiles, correlated subqueries, pivot,
+string expression surface, and the uuid5 surrogate path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gov_ec_pipeline_etl_spark.functions.ids import business_key, surrogate_uuid5
+from gov_ec_pipeline_etl_spark.plans.registry import register
+from gov_ec_pipeline_etl_spark.plans.util import T
+
+
+@register(
+    "q16_percentiles",
+    oracle="""
+        SELECT event_type,
+               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+               ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90,
+               ROUND(MIN(value), 6) AS vmin,
+               ROUND(MAX(value), 6) AS vmax
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (F.percentile ≡ "
+    "percentile_cont). At 100 TB swap to approx_percentile — the plan "
+    "shape is identical, the trade is documented.",
+    tags=("agg", "percentile"),
+)
+def q16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+    )
+
+
+@register(
+    "q17_correlated_subquery",
+    oracle="""
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+          SELECT AVG(c_acctbal) FROM customer c2
+          WHERE c2.c_mktsegment = c.c_mktsegment
+        )
+    """,
+    doc="Correlated scalar subquery (above-segment-average customers) — "
+    "decorrelated by Catalyst into an aggregate + join.",
+    tags=("subquery", "join"),
+)
+def q17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "customer").createOrReplaceTempView("_q17_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM _q17_customer c
+        WHERE c_acctbal > (
+          SELECT AVG(c_acctbal) FROM _q17_customer c2
+          WHERE c2.c_mktsegment = c.c_mktsegment
+        )
+        """
+    )
+
+
+@register(
+    "q18_pivot",
+    oracle="""
+        SELECT n_name,
+          COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END), 0) AS automobile,
+          COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END), 0) AS building,
+          COALESCE(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END), 0) AS furniture,
+          COALESCE(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END), 0) AS household,
+          COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END), 0) AS machinery
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc="Pivot (long→wide) with an explicit value list — the form that "
+    "stays a single aggregate pass; Spark pivot without values would "
+    "add a distinct-scan job.",
+    tags=("pivot", "agg"),
+)
+def q18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    df = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+    )
+    return df.toDF("n_name", *[s.lower() for s in segs]).na.fill(0)
+
+
+@register(
+    "q19_string_expressions",
+    oracle="""
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS pri_upper,
+               substr(o_orderpriority, 1, 1) AS pri_code,
+               length(o_orderpriority) AS pri_len,
+               replace(o_orderpriority, '-', '_') AS pri_snake,
+               concat(o_orderstatus, ':', o_orderpriority) AS status_pri,
+               CASE WHEN o_totalprice >= 300000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band
+        FROM orders
+    """,
+    doc="Scalar string/conditional expression surface (upper, substr, "
+    "length, replace, concat, CASE bands) — all codegen builtins.",
+    tags=("scalar", "string"),
+)
+def q19_string_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.replace(
+            "o_orderpriority", F.lit("-"), F.lit("_")
+        ).alias("pri_snake"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit(":"), F.col("o_orderpriority")
+        ).alias("status_pri"),
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+@register(
+    "r08_surrogate_uuid5",
+    oracle=None,  # no uuid5 in DuckDB; bit-exactness vs CPython's uuid
+    # module is pinned by tests/test_functions.py
+    doc="RFC-4122 v5 surrogate over the business key (reference K4, "
+    "etl/transform.py:483-493) — Arrow-batched pandas UDF, the only "
+    "operator besides accent-strip that needs Python.",
+    tags=("ids", "reference", "pandas-udf"),
+)
+def r08_surrogate_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").limit(5000)
+    bk = business_key(li, ["l_orderkey", "l_linenumber"])
+    return li.select(
+        bk.alias("business_key"),
+        surrogate_uuid5(bk, "lineitem").alias("surrogate_id"),
+    )
