@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gov_ec_pipeline_etl_spark.plans.registry import register
 from gov_ec_pipeline_etl_spark.plans.util import T
 from gov_ec_pipeline_etl_spark.streaming.events import (
+    run_streaming_dedup,
     run_tumbling_window_stream,
     session_window_agg,
 )
@@ -39,6 +40,21 @@ from gov_ec_pipeline_etl_spark.streaming.events import (
 )
 def st01_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_window_stream(spark, sf_dir)
+
+
+@register(
+    "st03_streaming_dedup",
+    oracle="""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+    """,
+    doc="Streaming dedup with bounded state: events replayed with every "
+    "row planted TWICE through dropDuplicatesWithinWatermark (30-min "
+    "horizon, append mode, AvailableNow) must reproduce exactly the "
+    "distinct event set — which is what the oracle states.",
+    tags=("streaming", "dedup"),
+)
+def st03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_dedup(spark, sf_dir)
 
 
 @register(

@@ -66,6 +66,64 @@ def run_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_incremental_file_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, target_dir: str
+) -> int:
+    """Process-each-file-once semantics (the Structured Streaming superset
+    of the reference's fingerprint diff, SURVEY.md §2.14): file source +
+    checkpoint + Trigger.AvailableNow. Re-running against an unchanged
+    source directory processes nothing; new files process exactly once.
+    Returns rows written this run."""
+    first = spark.read.parquet(source_dir)
+    stream = spark.readStream.schema(first.schema).parquet(source_dir)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    return int(progress["numInputRows"]) if progress else 0
+
+
+def streaming_dedup(events: DataFrame, within: str = "30 minutes") -> DataFrame:
+    """Streaming dedup on event_id with bounded state:
+    dropDuplicatesWithinWatermark keeps ids only for the watermark
+    horizon — the streaming analog of the reference's keyed dedup with
+    O(horizon) instead of O(history) state."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute streaming_dedup over a replayed event stream (with planted
+    duplicate rows), materialized via memory sink."""
+    staging = os.path.join(
+        tempfile.gettempdir(), f"events_dedup_{uuid.uuid4().hex[:8]}"
+    )
+    events = T(spark, sf_dir, "events")
+    # plant exact duplicates: every event twice → dedup must halve it
+    events.unionByName(events).write.mode("overwrite").parquet(staging)
+
+    stream = spark.readStream.schema(events.schema).parquet(staging)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_dedup(stream)
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def session_window_agg(
     events: DataFrame, gap: str = "5 minutes"
 ) -> DataFrame:

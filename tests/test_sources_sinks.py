@@ -166,3 +166,14 @@ def test_full_pipeline_incremental(spark, tmp_path):
 
     table_dir = os.path.join(work, "table", "detenidos_aprehendidos")
     assert read_table(spark, table_dir).count() == 2
+
+
+def test_pick_excel_sheets_semantics():
+    """Reference S5 sheet selection: numeric-named sheets not blacklisted,
+    else first non-blacklisted, else first."""
+    from gov_ec_pipeline_etl_spark.sources.ingest import pick_excel_sheets
+
+    assert pick_excel_sheets(["Contenido", "1", "2", "Notas"]) == ["1", "2"]
+    assert pick_excel_sheets(["Contenido", "Notas"]) == ["Notas"]
+    assert pick_excel_sheets(["Contenido"]) == ["Contenido"]
+    assert pick_excel_sheets(["Datos", "3"]) == ["3"]
