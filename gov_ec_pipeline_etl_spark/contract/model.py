@@ -81,6 +81,7 @@ class Contract:
     # load
     load_key: str = "surrogate_id"
     extras_column: str | None = "extras"
+    load_partition_by: list[str] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, cfg: dict[str, Any]) -> "Contract":
@@ -135,6 +136,7 @@ class Contract:
             allowed_schema_diffs=list(schema.get("allowed_schema_diffs", [])),
             load_key=load.get("key", "surrogate_id"),
             extras_column=load.get("extras_column", "extras"),
+            load_partition_by=list(load.get("partition_by", [])),
         )
 
     def expected_columns(self) -> set[str]:

@@ -94,7 +94,11 @@ def run_etl(
             tr.report["change_reasons"] = reasons.get(rid, [])
             result.reports[rid] = tr.report
             metrics = upsert_parquet(
-                spark, tr.df, target_dir, key=contract.load_key
+                spark,
+                tr.df,
+                target_dir,
+                key=contract.load_key,
+                partition_by=contract.load_partition_by or None,
             )
             result.upsert_metrics[rid] = metrics
             audit.record_resource(run_id, rid, tr.report)

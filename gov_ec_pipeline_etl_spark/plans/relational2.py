@@ -153,3 +153,20 @@ def r08_surrogate_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
         bk.alias("business_key"),
         surrogate_uuid5(bk, "lineitem").alias("surrogate_id"),
     )
+
+
+@register(
+    "q21b_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific by definition; the
+    # accuracy bound vs exact countDistinct is unit-tested
+    doc="approx_count_distinct (HyperLogLog++) per group — the 100 TB "
+    "substitute for exact distinct counts (no giant distinct shuffle); "
+    "rsd=0.01. Accuracy vs exact is pinned in tests/test_llm_ops.py.",
+    tags=("agg", "approx"),
+)
+def q21b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )

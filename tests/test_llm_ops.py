@@ -103,3 +103,15 @@ def test_ann_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5  # 4-plane LSH on tight clusters: most survive
+
+
+def test_approx_distinct_accuracy(spark):
+    """HLL++ at rsd=0.01 must land within 3% of exact on the testdata."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.03

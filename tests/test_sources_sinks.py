@@ -177,3 +177,26 @@ def test_pick_excel_sheets_semantics():
     assert pick_excel_sheets(["Contenido", "Notas"]) == ["Notas"]
     assert pick_excel_sheets(["Contenido"]) == ["Contenido"]
     assert pick_excel_sheets(["Datos", "3"]) == ["3"]
+
+
+def test_upsert_partitioned_pruning(spark, tmp_path):
+    """partition_by mirrors the reference's index intent: a filter on the
+    partition column must prune at scan time (PartitionFilters), not
+    post-scan."""
+    target = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [("a", 2023, 1.0), ("b", 2024, 2.0), ("c", 2024, 3.0)],
+        "surrogate_id: string, ano: int, v: double",
+    )
+    upsert_parquet(spark, df, target, partition_by=["ano"])
+    t = read_table(spark, target)
+    assert {r.surrogate_id for r in t.where("ano = 2024").collect()} == {"b", "c"}
+    plan = t.where("ano = 2024")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ano" in plan or "ano#" in plan
+    # second upsert keeps partitioning + merge semantics
+    df2 = spark.createDataFrame(
+        [("b", 2025, 20.0)], "surrogate_id: string, ano: int, v: double"
+    )
+    upsert_parquet(spark, df2, target, partition_by=["ano"])
+    rows = {r.surrogate_id: r.ano for r in read_table(spark, target).collect()}
+    assert rows == {"a": 2023, "b": 2025, "c": 2024}
