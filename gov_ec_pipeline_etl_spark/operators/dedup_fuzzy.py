@@ -55,17 +55,21 @@ def shingle_rows(
 
 
 def jaccard_verify(
-    cand: DataFrame, rows: DataFrame, threshold: float
+    cand: DataFrame, rows: DataFrame, threshold: float, on: str = "s"
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs from shingle ROWS (no arrays):
     shared-shingle counts via two hash joins, sizes via one aggregate.
-    Pairs sharing nothing drop out (jaccard 0 < threshold always)."""
+    Pairs sharing nothing drop out (jaccard 0 < threshold always).
+
+    ``on`` names the shingle-identity column: the string itself, or its
+    60-bit hash (bigint join keys shuffle less; collision odds per
+    compared pair are ~2⁻⁶⁰ · |A|·|B| — negligible against the gate)."""
     sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(
             rows.withColumnsRenamed({"id": "id_a"}), "id_a"
         )
-        .join(rows.withColumnsRenamed({"id": "id_b"}), ["id_b", "s"])
+        .join(rows.withColumnsRenamed({"id": "id_b"}), ["id_b", on])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -162,16 +166,19 @@ def minhash_lsh_pairs(
     band join and the final distinct.
     """
     rows = num_hashes // bands
-    # The shingle-row table feeds the signature aggregation and the
-    # verification joins; without persistence each branch recomputes
-    # shingling from raw text. Cache it — the cluster-scale equivalent is
-    # writing the sketch table out once (Delta/parquet) and reusing it.
-    sh = shingle_rows(df, id_col, text_col, k).persist()
+    # Hash each distinct shingle ONCE to its 60-bit identity, then drop
+    # the strings: the persisted sketch is (id, h60) — smaller cache,
+    # bigint join keys downstream. Feeds the signature aggregation and
+    # the verification joins (cluster-scale equivalent: write the sketch
+    # table out once as Delta/parquet and reuse it).
+    sh = (
+        shingle_rows(df, id_col, text_col, k)
+        .select("id", hash64(F.col("s"), 0, portable).alias("h60"))
+        .persist()
+    )
     # Signature via groupBy min-aggregates: the per-row affine hashes run
     # inside whole-stage codegen.
-    exploded = sh.withColumn(
-        "h", hash64(F.col("s"), 0, portable) % F.lit(2**32)
-    )
+    exploded = sh.withColumn("h", F.col("h60") % F.lit(2**32))
     sig = exploded.groupBy("id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
@@ -196,24 +203,43 @@ def minhash_lsh_pairs(
             ]
         ).alias("bands"),
     )
-    # Candidate generation carries IDs only — the shingle arrays would
-    # otherwise be shuffled through the self-join and pair-dedup, which
-    # dominates cost at scale. Shingles are joined back for verification.
+    # Candidate generation carries IDs only, via ONE pass: group ids per
+    # (band, key) bucket and expand in-bucket pairs. A self-join instead
+    # would recompute the whole signature lineage per side (no CSE across
+    # join branches) and shuffle twice. Bucket sizes are LSH-bounded
+    # (collisions ≈ near-dup groups), so the in-bucket pair product is
+    # small by construction.
     banded = banded_keys.select(
         "id", F.explode("bands").alias("bk")
     ).select("id", "bk.band_idx", "bk.band_key")
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda x: F.transform(
+                                F.col("ids"),
+                                lambda y: F.struct(
+                                    x.alias("id_a"), y.alias("id_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return jaccard_verify(cand, sh, jaccard_threshold)
+    return jaccard_verify(cand, sh.select("id", "h60"), jaccard_threshold, on="h60")
 
 
 # --- SimHash -------------------------------------------------------------
