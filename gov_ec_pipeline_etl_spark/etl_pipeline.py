@@ -17,10 +17,12 @@ Failure semantics preserved:
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from gov_ec_pipeline_etl_spark.contract.compiler import ContractPipeline
@@ -93,9 +95,13 @@ def run_etl(
             tr = pipeline.apply(df)  # raises TransformHardFail → run error
             tr.report["change_reasons"] = reasons.get(rid, [])
             result.reports[rid] = tr.report
+            # sink projection (FIXTURES.md §B): extras packed to one JSON
+            # column, run id stamped on every row
+            out = pipeline.pack_extras(tr.df, tr.report["schema_extra"])
+            out = out.withColumn("load_run_id", F.lit(run_id))
             metrics = upsert_parquet(
                 spark,
-                tr.df,
+                out,
                 target_dir,
                 key=contract.load_key,
                 partition_by=contract.load_partition_by or None,
@@ -103,6 +109,20 @@ def run_etl(
             result.upsert_metrics[rid] = metrics
             audit.record_resource(run_id, rid, tr.report)
             update_state(pending_state, res)
+
+        # W7/W8: config snapshot + transform report as run artifacts
+        art_dir = os.path.join(work_dir, "artifacts", "runs", run_id)
+        os.makedirs(art_dir, exist_ok=True)
+        with open(
+            os.path.join(art_dir, f"{contract.dataset}_config_snapshot.json"),
+            "w",
+            encoding="utf-8",
+        ) as f:
+            json.dump(load_config(config_path), f, sort_keys=True, default=str)
+        with open(
+            os.path.join(art_dir, "transform_report.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(result.reports, f, sort_keys=True, default=str)
 
         totals = {
             "rows_in_total": sum(r.get("rows_in", 0) for r in result.reports.values()),

@@ -79,10 +79,13 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND {_COS_SQL} >= 0.999
     """,
     doc="Embedding near-duplicate pairs (cosine ≥ 0.999) on a corpus "
-    "with planted scaled copies (scaling preserves cosine). Oracle runs "
-    "the exact quadratic variant; engine uses the same exact mode here "
-    "(LSH-bucketed mode is the scale path, exercised in s03/unit tests).",
-    tags=("similarity", "dedup", "llm-pipeline"),
+    "with planted scaled copies (scaling preserves cosine). The engine "
+    "runs the LSH-BUCKETED path (hyperplane sign buckets → in-bucket "
+    "pairs only — no quadratic cross join) while the oracle runs the "
+    "exact quadratic scan: results agree because positive scaling "
+    "preserves hyperplane signs exactly, so every ≥0.999 pair shares a "
+    "bucket — i.e. the oracle also validates the LSH recall argument.",
+    tags=("similarity", "dedup", "lsh", "llm-pipeline"),
 )
 def s02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -93,7 +96,7 @@ def s02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(planted)
-    return cosine_near_pairs(corpus, threshold=0.999, bucketed=False)
+    return cosine_near_pairs(corpus, threshold=0.999, bucketed=True)
 
 
 @register(

@@ -158,3 +158,23 @@ def test_expected_columns_algebra(contract):
     assert "genero" in exp  # rename target
     assert "ano" in exp  # derived
     assert "codigo_iccs" in exp  # declared
+
+
+def test_uuid5_surrogate_method(spark):
+    """Contract with surrogate method uuid5 → bit-exact RFC-4122 v5 ids."""
+    from gov_ec_pipeline_etl_spark.functions.ids import uuid5_py
+
+    cfg = {
+        "dataset": "t_uuid",
+        "schema": {"columns": {"a": "string_codes", "b": "string_codes"}},
+        "ids": {
+            "business_key": {"fields": ["a", "b"]},
+            "surrogate": {"method": "uuid5", "namespace": "t_uuid"},
+        },
+        "dedup": {"enforce_unique": True, "keep": "first"},
+    }
+    pipe = ContractPipeline(Contract.from_dict(cfg))
+    df = spark.createDataFrame([("x", "y")], "a: string, b: string")
+    row = pipe.apply(df).df.first()
+    assert row.business_key == "x|y"
+    assert row.surrogate_id == uuid5_py("t_uuid", "x|y")
