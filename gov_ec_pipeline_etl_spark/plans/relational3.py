@@ -1,0 +1,210 @@
+"""Third relational batch: set-union analytics, IN subqueries, HAVING,
+arg-max aggregates, null-safe comparisons, date arithmetic, filtered
+aggregates — rounding out the ANSI surface (all ABSENT in the reference,
+all supplied natively by Spark SQL; SURVEY.md §2.11-2.12).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gov_ec_pipeline_etl_spark.plans.registry import register
+from gov_ec_pipeline_etl_spark.plans.util import T
+
+
+@register(
+    "q26_union_all_activity",
+    oracle="""
+        SELECT kind, ym, COUNT(*) AS n FROM (
+          SELECT 'order' AS kind, strftime(o_orderdate, '%Y-%m') AS ym FROM orders
+          UNION ALL
+          SELECT 'ship' AS kind, strftime(l_shipdate, '%Y-%m') AS ym FROM lineitem
+        ) GROUP BY kind, ym
+    """,
+    doc="UNION ALL of two typed activity streams into one monthly "
+    "aggregate (bag semantics, no dedup shuffle).",
+    tags=("set-op", "agg"),
+)
+def q26_union_all_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders").select(
+        F.lit("order").alias("kind"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+    ship = T(spark, sf_dir, "lineitem").select(
+        F.lit("ship").alias("kind"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+    )
+    return (
+        orders.unionAll(ship)
+        .groupBy("kind", "ym")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q27_in_subquery",
+    oracle="""
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        ) AND o_orderstatus = 'O'
+    """,
+    doc="Uncorrelated IN subquery → left-semi join after Catalyst "
+    "rewrite.",
+    tags=("subquery", "semi-join"),
+)
+def q27_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_q27_orders")
+    T(spark, sf_dir, "customer").createOrReplaceTempView("_q27_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM _q27_orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM _q27_customer WHERE c_mktsegment = 'MACHINERY'
+        ) AND o_orderstatus = 'O'
+        """
+    )
+
+
+@register(
+    "q28_having",
+    oracle="""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 15
+    """,
+    doc="HAVING post-aggregate filter (customers with ≥15 orders).",
+    tags=("agg", "having"),
+)
+def q28_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "q29_argmax",
+    oracle="""
+        SELECT o_custkey,
+               arg_max(o_orderkey, o_totalprice) AS best_orderkey,
+               ROUND(MAX(o_totalprice), 2) AS best_price
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    doc="arg-max aggregate (max_by): the single-pass alternative to a "
+    "rank-1 window when only the extremal row's key is needed.",
+    tags=("agg", "argmax"),
+)
+def q29_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("best_orderkey"),
+            F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        )
+    )
+
+
+@register(
+    "q30_null_safe",
+    oracle="""
+        SELECT
+          SUM(CASE WHEN value IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_eq,
+          SUM(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS n_error_or_null,
+          SUM(CASE WHEN coalesce(value, 0.0) = 0.0 THEN 1 ELSE 0 END) AS n_zeroish
+        FROM (
+          SELECT CASE WHEN value < 1.0 THEN NULL ELSE value END AS value, event_type
+          FROM events
+        )
+    """,
+    doc="Null-handling surface: null-safe equality (<=> / IS NOT "
+    "DISTINCT FROM), nullif, coalesce.",
+    tags=("scalar", "null"),
+)
+def q30_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select(
+        F.when(F.col("value") < 1.0, None).otherwise(F.col("value")).alias("value"),
+        "event_type",
+    )
+    return ev.agg(
+        F.sum(
+            F.when(F.col("value").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).alias("n_null_eq"),
+        F.sum(
+            F.when(F.nullif("event_type", F.lit("error")).isNull(), 1).otherwise(0)
+        ).alias("n_error_or_null"),
+        F.sum(
+            F.when(F.coalesce("value", F.lit(0.0)) == 0.0, 1).otherwise(0)
+        ).alias("n_zeroish"),
+    )
+
+
+@register(
+    "q31_date_arithmetic",
+    oracle="""
+        SELECT
+          strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+          CAST(EXTRACT(dow FROM o_orderdate) AS INTEGER) AS dow,
+          COUNT(*) AS n,
+          ROUND(AVG(EXTRACT(day FROM o_orderdate)), 6) AS avg_dom
+        FROM orders
+        GROUP BY month_start, dow
+    """,
+    doc="Date arithmetic surface: truncation, day-of-week, day-of-month "
+    "extraction. DuckDB dow is 0=Sunday; Spark dayofweek is 1=Sunday — "
+    "aligned via -1.",
+    tags=("scalar", "datetime", "agg"),
+)
+def q31_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+        )
+        .groupBy("month_start", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dom"), 6).alias("avg_dom"),
+        )
+    )
+
+
+@register(
+    "q32_filtered_agg",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+               ROUND(SUM(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2)
+                 AS big_line_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="FILTER-ed aggregates (conditional aggregation in one pass).",
+    tags=("agg", "filter"),
+)
+def q32_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_taxfree"),
+        F.round(
+            F.sum(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2
+        ).alias("big_line_revenue"),
+    )

@@ -112,3 +112,49 @@ def s03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(
         emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=8
     )
+
+
+@register(
+    "s04_centroid_assign",
+    oracle=f"""
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+          FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS cent_id, emb_d AS cv FROM vecs WHERE vec_id < 8),
+        scored AS (
+          SELECT v.vec_id, c.cent_id,
+                 {_COS_SQL.replace('a.emb_d', 'v.emb_d').replace('b.emb_d', 'c.cv')} AS cos
+          FROM vecs v, cents c
+        )
+        SELECT cent_id, COUNT(*) AS n_assigned FROM (
+          SELECT vec_id, arg_max(cent_id, cos) AS cent_id
+          FROM scored
+          GROUP BY vec_id
+        ) GROUP BY cent_id
+    """,
+    doc="IVF building block: assign every vector to its nearest of K=8 "
+    "fixed centroids (cosine argmax), return cluster sizes. Exact cosine "
+    "ties cannot occur on continuous embeddings, so argmax is "
+    "well-defined on both engines (the Spark side still carries an "
+    "explicit low-centroid-id tie-break for total determinism). One "
+    "corpus scan; centroids broadcast.",
+    tags=("similarity", "ivf", "llm-pipeline"),
+)
+def s04_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.similarity import as_double, cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = vecs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", cosine(F.col("v"), F.col("cv")).alias("cos")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.min_by("cent_id", F.struct((-F.col("cos")).alias("s"), "cent_id")).alias(
+            "cent_id"
+        )
+    )
+    return assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_assigned"))
