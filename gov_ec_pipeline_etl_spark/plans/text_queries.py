@@ -159,3 +159,31 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sketch"
         ),
     )
+
+
+@register(
+    "t05_text_search",
+    oracle="""
+        SELECT
+          SUM(CASE WHEN text LIKE '%table%' THEN 1 ELSE 0 END) AS n_like,
+          SUM(CASE WHEN text LIKE 'key%' THEN 1 ELSE 0 END) AS n_prefix,
+          SUM(CASE WHEN regexp_matches(text, 'spark\\s+\\w+\\s+window') THEN 1 ELSE 0 END) AS n_regex,
+          SUM(CASE WHEN contains(text, 'merge batch') THEN 1 ELSE 0 END) AS n_contains
+        FROM documents
+    """,
+    doc="Text-search predicate surface: LIKE infix/prefix, regexp match, "
+    "substring containment — all pushable scan-side predicates.",
+    tags=("text", "search"),
+)
+def t05_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.agg(
+        F.sum(F.when(F.col("text").like("%table%"), 1).otherwise(0)).alias("n_like"),
+        F.sum(F.when(F.col("text").like("key%"), 1).otherwise(0)).alias("n_prefix"),
+        F.sum(
+            F.when(F.col("text").rlike(r"spark\s+\w+\s+window"), 1).otherwise(0)
+        ).alias("n_regex"),
+        F.sum(
+            F.when(F.col("text").contains("merge batch"), 1).otherwise(0)
+        ).alias("n_contains"),
+    )

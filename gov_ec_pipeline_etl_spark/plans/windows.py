@@ -192,3 +192,30 @@ def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("purchase_id"), "click_ts_us", "click_value"
         )
     )
+
+
+@register(
+    "q33_range_frame",
+    oracle="""
+        SELECT event_id,
+               COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+               ) AS n_last_10min
+        FROM events
+    """,
+    doc="Time-based RANGE window frame: events per user in the trailing "
+    "10 minutes — ordered by epoch micros so the frame bound is a plain "
+    "integer range in both engines.",
+    tags=("window", "range-frame"),
+)
+def q33_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.count(F.lit(1)).over(w).alias("n_last_10min")
+    )
