@@ -208,3 +208,41 @@ def q32_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2
         ).alias("big_line_revenue"),
     )
+
+
+@register(
+    "q34_salted_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total,
+               ROUND(MAX(value), 6) AS vmax
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Two-phase SALTED aggregation (groupBy(key, salt) partials → "
+    "groupBy(key) final) for hot keys a hash aggregate can't split — "
+    "semantically identical to the plain GROUP BY, which is exactly what "
+    "the oracle asserts. event_type has only 5 values, i.e. every key is "
+    "'hot': the worst case for an unsalted agg, the intended case here.",
+    tags=("agg", "skew", "salting"),
+)
+def q34_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.skew import salted_two_phase_agg
+
+    ev = T(spark, sf_dir, "events")
+    return salted_two_phase_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs=lambda: [
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("value").alias("_sum"),
+            F.max("value").alias("_max"),
+        ],
+        final_aggs=lambda: [
+            F.sum("_n").alias("n"),
+            F.round(F.sum("_sum"), 2).alias("total"),
+            F.round(F.max("_max"), 6).alias("vmax"),
+        ],
+        salt_buckets=16,
+    )

@@ -158,3 +158,54 @@ def s04_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_assigned"))
+
+
+@register(
+    "s05_kmeans_step",
+    oracle=f"""
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+          FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS cent_id, emb_d AS cv FROM vecs WHERE vec_id < 8),
+        scored AS (
+          SELECT v.vec_id, c.cent_id, v.emb_d,
+                 {_COS_SQL.replace('a.emb_d', 'v.emb_d').replace('b.emb_d', 'c.cv')} AS cos
+          FROM vecs v, cents c
+        ),
+        assigned AS (
+          SELECT vec_id, arg_max(cent_id, cos) AS cent_id
+          FROM scored GROUP BY vec_id
+        )
+        SELECT a.cent_id,
+               COUNT(*) AS n_members,
+               ROUND(AVG(list_sum(v.emb_d)), 6) AS mean_component_sum
+        FROM assigned a JOIN vecs v USING (vec_id)
+        GROUP BY a.cent_id
+    """,
+    doc="One Lloyd iteration of k-means (k=8 seeded from the corpus): "
+    "assign → per-cluster mean statistics. The full iterative loop runs "
+    "this plan to a fixpoint driver-side; each iteration is one broadcast "
+    "join + two aggregations, no collect of vectors.",
+    tags=("similarity", "kmeans", "iterative", "llm-pipeline"),
+)
+def s05_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.similarity import as_double, cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = vecs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("cos")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("cent_id", "cos").alias("cent_id"),
+        F.first("v").alias("v"),
+    )
+    comp_sum = F.aggregate("v", F.lit(0.0), lambda a, x: a + x)
+    return assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg(comp_sum), 6).alias("mean_component_sum"),
+    )

@@ -112,3 +112,24 @@ def test_dedup_keep_latest_nulls_lose(spark):
     )
     out = dedup_keep_latest(df, ["bk"], "fecha", "seq")
     assert out.first().seq == 1
+
+
+def test_replicated_broadcast_join_equals_plain(spark):
+    """Salted/replicated broadcast join must be semantically identical to
+    the plain inner join (skew mitigation is a plan rewrite, not a
+    semantics change)."""
+    from gov_ec_pipeline_etl_spark.operators.skew import replicate_broadcast_join
+
+    big = spark.createDataFrame(
+        [("k1", i) for i in range(500)] + [("k2", i) for i in range(5)],
+        "k: string, v: bigint",
+    )
+    small = spark.createDataFrame(
+        [("k1", "hot"), ("k2", "cold"), ("k3", "unmatched")], "k: string, tag: string"
+    )
+    plain = {(r.k, r.v, r.tag) for r in big.join(small, "k").collect()}
+    salted = {
+        (r.k, r.v, r.tag)
+        for r in replicate_broadcast_join(big, small, "k", salt_buckets=4).collect()
+    }
+    assert salted == plain and len(plain) == 505
