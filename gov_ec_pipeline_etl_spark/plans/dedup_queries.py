@@ -288,3 +288,58 @@ def d05_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= 0.9)
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     )
+
+
+@register(
+    "d06_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE corpus AS ({DIRTY_SQL}),
+        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+        sh AS (SELECT doc_id, {shingles_sql(5)} AS shingles FROM toksed),
+        mh AS (
+          SELECT doc_id,
+                 list_min(list_transform(shingles, s -> md5(s))) AS min_sh
+          FROM sh
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM mh a JOIN mh b ON a.min_sh = b.min_sh AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(src, dst) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src
+    """,
+    doc="Duplicate-CLUSTER formation: docs sharing their minimum 5-word "
+    "shingle hash become edges; iterative min-label propagation "
+    "(localCheckpoint per round — the lineage-truncation pattern "
+    "iterative algorithms need on Spark) finds components. Oracle "
+    "recomputes components via a recursive transitive-closure CTE, so "
+    "the fixpoint itself is cross-engine verified.",
+    tags=("dedup", "graph", "iterative", "llm-pipeline"),
+)
+def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import shingle_rows
+    from gov_ec_pipeline_etl_spark.operators.graph import connected_components
+
+    rows = shingle_rows(_dirty_docs(spark, sf_dir), "doc_id", "text", 5)
+    mh = rows.groupBy("id").agg(F.min(F.md5("s")).alias("min_sh"))
+    pairs = (
+        mh.alias("a")
+        .join(
+            mh.alias("b"),
+            (F.col("a.min_sh") == F.col("b.min_sh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return connected_components(pairs)

@@ -91,3 +91,26 @@ def st03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st02_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(T(spark, sf_dir, "events"), gap="5 minutes")
+
+
+@register(
+    "st04_stateful_counters",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               MAX(epoch_us(ts)) AS last_ts_us
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user counters evolved across micro-batches (events replayed as "
+    "3 files, maxFilesPerTrigger=1 forces state to survive batch "
+    "boundaries). The final emitted state per user must equal the batch "
+    "GROUP BY — which is the oracle.",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def st04_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.streaming.stateful import run_user_counters
+
+    return run_user_counters(spark, sf_dir, n_chunks=3)

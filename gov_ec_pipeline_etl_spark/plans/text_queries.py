@@ -187,3 +187,60 @@ def t05_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("text").contains("merge batch"), 1).otherwise(0)
         ).alias("n_contains"),
     )
+
+
+@register(
+    "t06_vocab_stats",
+    oracle="""
+        SELECT tok, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents
+        )
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 20
+    """,
+    doc="Corpus vocabulary statistics: token frequency top-20 "
+    "(explode → count, deterministic tie-break). The building block for "
+    "stopword discovery / vocabulary pruning over an LLM corpus.",
+    tags=("text", "vocab", "llm-pipeline"),
+)
+def t06_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return (
+        d.select(F.explode(F.split(norm, " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "t07_scrub",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(source, '[0-9]+', '<num>', 'g'),
+                                  'src', '<source>', 'g')) AS scrubbed_fp,
+               length(regexp_replace(source, '[0-9]+', '<num>', 'g')) AS scrubbed_len
+        FROM documents
+    """,
+    doc="Text scrubbing (PII-style redaction shape): digit runs and "
+    "source markers replaced by placeholder tokens — chained "
+    "regexp_replace, pure map stage; fingerprinted so the oracle "
+    "compares full scrubbed strings.",
+    tags=("text", "scrub", "llm-pipeline"),
+)
+def t07_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("source", r"[0-9]+", "<num>"), "src", "<source>"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        F.length(
+            F.regexp_replace("source", r"[0-9]+", "<num>")
+        ).alias("scrubbed_len"),
+    )

@@ -115,3 +115,41 @@ def test_approx_distinct_accuracy(spark):
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.03
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, pair 10-11, singleton edge 20-21: three components
+    labeled by their minimum node."""
+    from gov_ec_pipeline_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (21, 20)], "id_a: bigint, id_b: bigint"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
+def test_stateful_counters_match_batch(spark):
+    """applyInPandasWithState counters across micro-batches equal the
+    batch aggregate."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.plans.util import T
+    from gov_ec_pipeline_etl_spark.streaming.stateful import run_user_counters
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in run_user_counters(spark, sf, n_chunks=3).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == want
