@@ -141,18 +141,22 @@ def read_excel_resource(
     scan_rows: int = 5,
 ) -> DataFrame:
     """Multi-sheet Excel → one DataFrame (sheets unioned by name with
-    null-fill, reference U1). Requires openpyxl."""
+    null-fill, reference U1). Uses pandas+openpyxl when available, else
+    the bundled stdlib OOXML reader (sources/xlsx_lite)."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "Excel ingest requires openpyxl (not bundled with the engine)"
-        ) from e
-    xl = pd.ExcelFile(path)
-    sheets = pick_excel_sheets(list(xl.sheet_names), blacklist)
+
+        xl = pd.ExcelFile(path)
+        names = list(xl.sheet_names)
+        parse = lambda s: xl.parse(s, dtype=str)  # noqa: E731
+    except ImportError:
+        from gov_ec_pipeline_etl_spark.sources import xlsx_lite
+
+        names = xlsx_lite.sheet_names(path)
+        parse = lambda s: xlsx_lite.read_sheet(path, s)  # noqa: E731
+    sheets = pick_excel_sheets(names, blacklist)
     dfs = [
-        _to_spark(spark, fix_header(xl.parse(s, dtype=str), scan_rows))
-        for s in sheets
+        _to_spark(spark, fix_header(parse(s), scan_rows)) for s in sheets
     ]
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
