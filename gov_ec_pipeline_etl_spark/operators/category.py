@@ -73,6 +73,39 @@ def apply_category_rules(
     return df.select(*exprs)
 
 
+def apply_category_via_join(
+    df: DataFrame,
+    column: str,
+    mapping_df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+    ascii_fast_path: bool = True,
+) -> DataFrame:
+    """A1's large-map form: broadcast-join against a mapping TABLE
+    (key already normalized) instead of an inline literal map — the
+    right shape when the mapping has thousands+ entries (gazetteer,
+    code lists). Semantics identical to ``category_expr`` with the same
+    mapping: hit → mapped value, miss → original value."""
+    if ascii_fast_path:
+        lookup = F.regexp_replace(F.lower(F.trim(F.col(column))), r"\s+", " ")
+    else:
+        from gov_ec_pipeline_etl_spark.functions.text import norm_text
+
+        lookup = norm_text(F.col(column))
+    joined = df.withColumn("__lookup", lookup).join(
+        F.broadcast(
+            mapping_df.select(
+                F.col(key_col).alias("__lookup"), F.col(value_col).alias("__mapped")
+            )
+        ),
+        "__lookup",
+        "left",
+    )
+    return joined.withColumn(
+        column, F.coalesce("__mapped", F.col(column))
+    ).drop("__lookup", "__mapped")
+
+
 def out_of_domain_report(
     df: DataFrame, column: str, allowed: list[str], approx: bool = False
 ) -> dict:

@@ -343,3 +343,81 @@ def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
     return connected_components(pairs)
+
+
+@register(
+    "d07_cross_modal",
+    oracle=f"""
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+          FROM embeddings
+        ),
+        nn AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY b.vec_id
+                     ORDER BY list_dot_product(a.emb_d, b.emb_d)
+                       / (sqrt(list_dot_product(a.emb_d, a.emb_d))
+                          * sqrt(list_dot_product(b.emb_d, b.emb_d))) DESC,
+                       a.vec_id
+                   ) AS rnk
+            FROM vecs a, vecs b
+            WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+          ) WHERE rnk = 1
+        ),
+        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM toksed)
+        SELECT n.query_id AS doc_id, n.neighbor_id,
+               ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6)
+                 AS text_jaccard
+        FROM nn n
+        JOIN sh sa ON sa.doc_id = n.query_id
+        JOIN sh sb ON sb.doc_id = n.neighbor_id
+    """,
+    doc="Cross-modal dedup check: for each of 10 query documents, its "
+    "nearest EMBEDDING neighbor joined back to TEXT shingle-Jaccard — "
+    "the agreement probe between semantic (vector) and lexical "
+    "(shingle) duplicate signals; documents ↔ embeddings joined on "
+    "aligned ids.",
+    tags=("dedup", "similarity", "cross-modal", "llm-pipeline"),
+)
+def d07_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import shingle_rows
+    from gov_ec_pipeline_etl_spark.operators.similarity import cosine_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    nn = cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=1).select(
+        F.col("query_id").alias("doc_id"), "neighbor_id"
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = shingle_rows(docs, "doc_id", "text", 3)
+    sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        nn.join(rows.withColumnsRenamed({"id": "doc_id"}), "doc_id")
+        .join(
+            rows.withColumnsRenamed({"id": "neighbor_id"}),
+            ["neighbor_id", "s"],
+        )
+        .groupBy("doc_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        nn.join(inter, ["doc_id", "neighbor_id"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnsRenamed({"id": "doc_id", "sz": "sz_a"}), "doc_id")
+        .join(
+            sizes.withColumnsRenamed({"id": "neighbor_id", "sz": "sz_b"}),
+            "neighbor_id",
+        )
+        .select(
+            "doc_id",
+            "neighbor_id",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("text_jaccard"),
+        )
+    )

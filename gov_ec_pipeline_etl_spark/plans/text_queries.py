@@ -244,3 +244,40 @@ def t07_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("source", r"[0-9]+", "<num>")
         ).alias("scrubbed_len"),
     )
+
+
+@register(
+    "t08_repetition_stats",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               SUM(c) AS n_tokens,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ratio,
+               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_ratio
+        FROM counts GROUP BY doc_id
+    """,
+    doc="Doc-internal repetition signals (distinct-token ratio, "
+    "top-token dominance) — the standard repetition filter for LLM "
+    "training corpora; two aggregations, no per-doc Python.",
+    tags=("text", "quality", "repetition", "llm-pipeline"),
+)
+def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    counts = (
+        d.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_ratio"),
+    )

@@ -133,3 +133,30 @@ def test_replicated_broadcast_join_equals_plain(spark):
         for r in replicate_broadcast_join(big, small, "k", salt_buckets=4).collect()
     }
     assert salted == plain and len(plain) == 505
+
+
+def test_category_via_broadcast_join_matches_expr(spark):
+    """The broadcast-join mapping form must equal the literal-map
+    expression form (A1's two physical shapes, one semantics)."""
+    from gov_ec_pipeline_etl_spark.operators.category import (
+        apply_category_via_join,
+        category_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("  M ",), ("f",), ("desconocido",), (None,)], ["sexo"]
+    )
+    mapping = {"m": "Masculino", "f": "Femenino"}
+    via_expr = [
+        r.sexo
+        for r in df.select(
+            category_expr("sexo", mapping).alias("sexo")
+        ).collect()
+    ]
+    mapping_df = spark.createDataFrame(
+        list(mapping.items()), "key: string, value: string"
+    )
+    via_join = [
+        r.sexo for r in apply_category_via_join(df, "sexo", mapping_df).collect()
+    ]
+    assert via_join == via_expr == ["Masculino", "Femenino", "desconocido", None]
