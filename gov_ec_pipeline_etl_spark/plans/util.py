@@ -23,6 +23,11 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond timestamp, matching DuckDB's nanos→micros truncation.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The raw nanos are naive wall-clock (isAdjustedToUTC=false); pinning
+    # the session to UTC makes every downstream date_trunc/window render
+    # them as stored, matching DuckDB's naive TIMESTAMP reading even if
+    # the host JVM runs in another timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, "events"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
