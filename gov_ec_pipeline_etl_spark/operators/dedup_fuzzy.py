@@ -113,41 +113,6 @@ def minhash_coeffs(num_hashes: int, seed: int = 123) -> list[tuple[int, int]]:
     return [(int(x), int(y)) for x, y in zip(a, b)]
 
 
-def minhash_signature(
-    shingles: Column, num_hashes: int = 12, portable: bool = True
-) -> Column:
-    """Array of ``num_hashes`` min-hash values over the shingle set.
-
-    One base hash per shingle (the expensive part), then a universal-hash
-    family ``(a_i*h32 + b_i) mod P`` per signature slot — num_hashes×
-    cheaper than hashing each (shingle, seed) pair, and still
-    bit-identical across engines.
-    """
-    base = F.transform(
-        shingles, lambda s: hash64(s, 0, portable) % F.lit(2**32)
-    )
-    mins = [
-        F.array_min(
-            F.transform(
-                base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-            )
-        )
-        for a, b in minhash_coeffs(num_hashes)
-    ]
-    return F.array(*mins)
-
-
-def band_keys(signature: Column, bands: int, rows: int) -> Column:
-    """LSH band keys: md5 of each contiguous ``rows``-slice of the
-    signature. Two docs sharing any band key become candidates."""
-    return F.array(
-        *[
-            F.md5(F.concat_ws(",", F.slice(signature, b * rows + 1, rows)))
-            for b in range(bands)
-        ]
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

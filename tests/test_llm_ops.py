@@ -153,3 +153,25 @@ def test_stateful_counters_match_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_simhash_column_equals_table(spark, docs_df):
+    """The Column-level simhash (spec form) and the explode/groupBy table
+    form (production form) must produce identical fingerprints."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        simhash,
+        simhash_table,
+    )
+
+    via_col = {
+        r.doc_id: r.fp
+        for r in docs_df.select(
+            "doc_id", simhash("text").alias("fp")
+        ).collect()
+    }
+    via_table = {
+        r.id: r.fp for r in simhash_table(docs_df, "doc_id", "text").collect()
+    }
+    assert via_col == via_table
