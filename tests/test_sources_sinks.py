@@ -200,3 +200,26 @@ def test_upsert_partitioned_pruning(spark, tmp_path):
     upsert_parquet(spark, df2, target, partition_by=["ano"])
     rows = {r.surrogate_id: r.ano for r in read_table(spark, target).collect()}
     assert rows == {"a": 2023, "b": 2025, "c": 2024}
+
+
+def test_pipeline_reader_failure_keeps_state(spark, tmp_path):
+    """A resource whose file is missing fails the run (audit closed as
+    error) and does NOT promote state or touch the table."""
+    import pytest as _pytest
+
+    from gov_ec_pipeline_etl_spark.etl_pipeline import run_etl
+    from gov_ec_pipeline_etl_spark.sinks.audit import AuditLedger
+
+    cfg = os.path.join(
+        os.path.dirname(__file__), "..", "configs", "detenidos.yaml"
+    )
+    work = str(tmp_path / "work")
+    res = [{"id": "gone", "path": str(tmp_path / "missing.csv"),
+            "last_modified": "2025-01-01T00:00:00Z", "size": 1,
+            "url": "file://gone", "format": "CSV"}]
+    with _pytest.raises(Exception):
+        run_etl(spark, cfg, res, work)
+    assert not os.path.exists(os.path.join(work, "state.json"))
+    runs = AuditLedger(os.path.join(work, "audit")).runs()
+    assert len(runs) == 1
+    assert list(runs.values())[0]["status"] == "error"
