@@ -105,10 +105,12 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Frame-sampling plan for video-ish payloads: pick n_frames evenly
     spaced byte offsets (stub for timestamp seeking)."""
+    # explicit floor: float→int CAST truncates in Spark but ROUNDS in
+    # DuckDB — floor is the portable spelling of the intended semantics
     return decoded.select(
         "media_id",
         F.transform(
             F.sequence(F.lit(0), F.lit(n_frames - 1)),
-            lambda i: (i * F.col("n_bytes") / n_frames).cast("bigint"),
+            lambda i: F.floor(i * F.col("n_bytes") / n_frames).cast("bigint"),
         ).alias("frame_offsets"),
     )

@@ -47,10 +47,10 @@ def _canon_value(v: Any) -> Any:
         return bool(v)
     if isinstance(v, (int,)):
         return int(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_value(x) for x in v)
     if hasattr(v, "item"):  # numpy scalars
         return _canon_value(v.item())
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon_value(x) for x in v)
     if pd.isna(v):
         return None
     return v

@@ -98,3 +98,50 @@ def m02_apply_in_pandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ev.groupBy("user_id").applyInPandas(gaps, schema=_GAP_SCHEMA)
+
+
+@register(
+    "m03_resize_frame_plan",
+    oracle="""
+        WITH meta AS (
+          SELECT doc_id AS media_id,
+                 octet_length(encode(text)) AS n_bytes,
+                 16 + (octet_length(encode(text)) % 640) AS width,
+                 16 + ((octet_length(encode(text)) * 7) % 480) AS height
+          FROM documents
+        )
+        SELECT media_id,
+               ROUND(least(1.0, 256.0 / greatest(width, height)), 6) AS scale,
+               CAST(floor(width  * least(1.0, 256.0 / greatest(width, height))) AS BIGINT) AS target_w,
+               CAST(floor(height * least(1.0, 256.0 / greatest(width, height))) AS BIGINT) AS target_h,
+               list_transform(range(0, 4), i -> CAST(floor(i * n_bytes / 4) AS BIGINT)) AS frame_offsets
+        FROM meta
+    """,
+    doc="Multimodal planning stages end-to-end: mapInPandas decode (stub "
+    "codec) → JVM-side resize planning (scale to max side 256) and "
+    "frame-sample offsets (4 evenly spaced) — metadata arithmetic stays "
+    "in codegen; only pixel work would return to Python.",
+    tags=("multimodal", "llm-pipeline"),
+)
+def m03_resize_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        decode_media,
+        frame_sample_plan,
+        resize_plan,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+    decoded = decode_media(media)
+    resized = resize_plan(decoded, max_side=256).select(
+        "media_id",
+        "scale",
+        F.col("target_w").cast("bigint").alias("target_w"),
+        F.col("target_h").cast("bigint").alias("target_h"),
+    )
+    frames = frame_sample_plan(decoded, n_frames=4)
+    return resized.join(frames, "media_id")

@@ -246,3 +246,26 @@ def q34_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         salt_buckets=16,
     )
+
+
+@register(
+    "q35_string_agg",
+    oracle="""
+        SELECT l_returnflag,
+               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+               COUNT(DISTINCT l_linestatus) AS n_statuses
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Ordered string aggregation (collect_set → sort → join ≡ "
+    "string_agg DISTINCT ORDER BY) — deterministic by construction.",
+    tags=("agg", "string-agg"),
+)
+def q35_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("l_linestatus")), ","
+        ).alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
