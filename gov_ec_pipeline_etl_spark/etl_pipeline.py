@@ -88,7 +88,6 @@ def run_etl(
 
     pending_state = ResourceState(resources=dict(prev.resources))
     try:
-        sink_ok = True
         for res in todo:
             rid = res["id"]
             df = reader(spark, res)
@@ -131,9 +130,10 @@ def run_etl(
         }
         audit.close_run(run_id, "ok", totals)
         result.status = "ok"
-        # commit gate: promote state only after clean sink + audit close,
-        # and only when something was actually processed
-        if sink_ok and (todo or not prev.resources):
+        # commit gate: promote state only after clean sink + audit close
+        # (any upsert/transform failure raises before this point), and
+        # only when something was actually processed
+        if todo or not prev.resources:
             save_state(pending_state, state_path)
     except Exception as e:
         audit.close_run(run_id, "error", error_message=str(e))

@@ -85,8 +85,9 @@ def run_incremental_file_stream(
         .start()
     )
     q.awaitTermination()
-    progress = q.lastProgress
-    return int(progress["numInputRows"]) if progress else 0
+    # AvailableNow may split the backlog into several micro-batches;
+    # lastProgress would undercount, so sum this run's batches.
+    return sum(int(p["numInputRows"]) for p in q.recentProgress)
 
 
 def streaming_dedup(events: DataFrame, within: str = "30 minutes") -> DataFrame:
