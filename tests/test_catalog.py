@@ -1,0 +1,89 @@
+"""Catalog client semantics with a local HTTP server (no external
+network): package fetch + success validation, prefix filter fallback,
+streamed download."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from gov_ec_pipeline_etl_spark.sources.catalog import (
+    CatalogError,
+    download_resource,
+    fetch_package,
+    filter_resources_by_prefix,
+)
+
+PACKAGE = {
+    "success": True,
+    "result": {
+        "resources": [
+            {"id": "r1", "name": "Detenciones Aprehensiones 2024", "url": "/f1"},
+            {"id": "r2", "name": "Otros Datos", "url": "/f2"},
+        ]
+    },
+}
+
+
+class Handler(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802
+        if self.path.startswith("/api/3/action/package_show"):
+            if "bad" in self.path:
+                body = json.dumps({"success": False}).encode()
+            else:
+                body = json.dumps(PACKAGE).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/blob":
+            data = b"x" * (1 << 21)  # 2 MB → multiple 1 MB chunks
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def server():
+    httpd = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def test_fetch_package_and_prefix(server):
+    res = fetch_package(server, "pkg", prefix="detenciones")
+    assert [r["id"] for r in res] == ["r1"]
+    # contains-fallback when nothing startswith
+    res = fetch_package(server, "pkg", prefix="datos")
+    assert [r["id"] for r in res] == ["r2"]
+    with pytest.raises(CatalogError, match="success=false"):
+        fetch_package(server, "bad")
+
+
+def test_prefix_filter_accent_insensitive():
+    rs = [{"id": "x", "name": "Detención Niños"}]
+    assert filter_resources_by_prefix(rs, "detencion ni") == rs
+    assert filter_resources_by_prefix(rs, "zzz") == []
+
+
+def test_streamed_download(server, tmp_path):
+    dest = str(tmp_path / "raw" / "blob.bin")
+    n = download_resource(server + "/blob", dest)
+    assert n == 1 << 21
+    import os
+
+    assert os.path.getsize(dest) == 1 << 21
+    with pytest.raises(CatalogError, match="404"):
+        download_resource(server + "/nope", str(tmp_path / "x"))
