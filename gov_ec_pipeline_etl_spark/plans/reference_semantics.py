@@ -211,3 +211,39 @@ def r07_critical_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack}) as (column_name, non_null_count)"
         )
     )
+
+
+@register(
+    "r09_extras_pack",
+    oracle="""
+        SELECT doc_id,
+          CASE
+            WHEN a IS NULL AND b IS NULL THEN NULL
+            WHEN b IS NULL THEN CAST(json_object('a', a) AS VARCHAR)
+            WHEN a IS NULL THEN CAST(json_object('b', b) AS VARCHAR)
+            ELSE CAST(json_object('a', a, 'b', b) AS VARCHAR)
+          END AS extras
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS a,
+                 CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS b
+          FROM documents
+        )
+    """,
+    doc="Reference P7 extras packing (etl/load.py:351-378): non-canonical "
+    "columns → one JSON object, null fields SKIPPED per row, all-null → "
+    "NULL — to_json(struct, ignoreNullFields) matches the byte-exact "
+    "JSON the oracle builds conditionally.",
+    tags=("json", "reference", "extras"),
+)
+def r09_extras_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang")).alias("a"),
+        F.when(F.col("doc_id") % 2 == 0, None).otherwise(F.col("source")).alias("b"),
+    )
+    packed = F.to_json(F.struct("a", "b"), {"ignoreNullFields": "true"})
+    return docs.select(
+        "doc_id",
+        F.when(packed == "{}", F.lit(None)).otherwise(packed).alias("extras"),
+    )

@@ -269,3 +269,34 @@ def q35_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.countDistinct("l_linestatus").alias("n_statuses"),
     )
+
+
+@register(
+    "q36_json_extract",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Semi-structured JSON column processing (the reference's extras "
+    "JSONB, read side): typed from_json extraction aggregated per "
+    "event_type — schema-on-read without a UDF.",
+    tags=("json", "agg", "semi-structured"),
+)
+def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
