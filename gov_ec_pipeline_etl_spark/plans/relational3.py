@@ -300,3 +300,42 @@ def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "q37_month_share_of_year",
+    oracle="""
+        WITH monthly AS (
+          SELECT strftime(o_orderdate, '%Y') AS y,
+                 strftime(o_orderdate, '%Y-%m') AS ym,
+                 SUM(o_totalprice) AS rev
+          FROM orders GROUP BY y, ym
+        )
+        SELECT ym, ROUND(rev, 2) AS revenue,
+               ROUND(rev / SUM(rev) OVER (PARTITION BY y), 6) AS share_of_year
+        FROM monthly
+    """,
+    doc="Window over an aggregate (two-level analytic): monthly revenue "
+    "and its share of the year — aggregate once, window over the "
+    "aggregated (small) frame, no second pass over the fact table.",
+    tags=("window", "agg", "analytic"),
+)
+def q37_month_share_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy").alias("y"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            "o_totalprice",
+        )
+        .groupBy("y", "ym")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("y")
+    return monthly.select(
+        "ym",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share_of_year"),
+    )

@@ -281,3 +281,40 @@ def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
         F.round(F.max("c") / F.sum("c"), 6).alias("top_token_ratio"),
     )
+
+
+@register(
+    "t09_length_bands_per_lang",
+    oracle="""
+        WITH med AS (
+          SELECT lang,
+                 percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS med_len
+          FROM documents GROUP BY lang
+        )
+        SELECT d.lang, band, COUNT(*) AS n_docs FROM (
+          SELECT d.lang,
+                 CASE WHEN d.n_chars < 0.5 * m.med_len THEN 'short'
+                      WHEN d.n_chars > 2.0 * m.med_len THEN 'long'
+                      ELSE 'mid' END AS band,
+                 d.doc_id
+          FROM documents d JOIN med m ON d.lang = m.lang
+        ) d GROUP BY d.lang, band
+    """,
+    doc="Corpus-curation shape: per-language length median (broadcast "
+    "back), band every document relative to ITS language's median — the "
+    "standard relative-length filter for multilingual training data.",
+    tags=("text", "quality", "curation", "llm-pipeline"),
+)
+def t09_length_bands_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.percentile("n_chars", 0.5).alias("med_len")
+    )
+    banded = d.join(F.broadcast(med), "lang").select(
+        "lang",
+        F.when(F.col("n_chars") < 0.5 * F.col("med_len"), "short")
+        .when(F.col("n_chars") > 2.0 * F.col("med_len"), "long")
+        .otherwise("mid")
+        .alias("band"),
+    )
+    return banded.groupBy("lang", "band").agg(F.count(F.lit(1)).alias("n_docs"))
