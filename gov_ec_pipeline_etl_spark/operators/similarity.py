@@ -72,7 +72,7 @@ def cosine_topk(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
     )
@@ -124,7 +124,7 @@ def lsh_cosine_topk(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
     )

@@ -30,7 +30,7 @@ from gov_ec_pipeline_etl_spark.plans.util import T
     "m01_multimodal_decode",
     oracle="""
         SELECT doc_id AS media_id,
-               octet_length(encode(text)) AS n_bytes,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                16 + (octet_length(encode(text)) % 640) AS width,
                16 + ((octet_length(encode(text)) * 7) % 480) AS height
         FROM documents

@@ -116,7 +116,7 @@ def r03_category_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n_rows,
-               SUM(CASE WHEN value_bounded IS NULL THEN 1 ELSE 0 END) AS n_nulled,
+               CAST(SUM(CASE WHEN value_bounded IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulled,
                ROUND(SUM(value_bounded), 2) AS sum_value
         FROM (
           SELECT event_type,

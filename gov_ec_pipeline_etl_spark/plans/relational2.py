@@ -73,11 +73,11 @@ def q17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_pivot",
     oracle="""
         SELECT n_name,
-          COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END), 0) AS automobile,
-          COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END), 0) AS building,
-          COALESCE(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END), 0) AS furniture,
-          COALESCE(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END), 0) AS household,
-          COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END), 0) AS machinery
+          CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END), 0) AS BIGINT) AS automobile,
+          CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END), 0) AS BIGINT) AS building,
+          CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END), 0) AS BIGINT) AS furniture,
+          CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END), 0) AS BIGINT) AS household,
+          CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END), 0) AS BIGINT) AS machinery
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
@@ -123,7 +123,7 @@ def q19_string_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.upper("o_orderpriority").alias("pri_upper"),
         F.substring("o_orderpriority", 1, 1).alias("pri_code"),
-        F.length("o_orderpriority").alias("pri_len"),
+        F.length("o_orderpriority").cast("bigint").alias("pri_len"),
         F.replace(
             "o_orderpriority", F.lit("-"), F.lit("_")
         ).alias("pri_snake"),

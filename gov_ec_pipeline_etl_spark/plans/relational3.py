@@ -121,9 +121,9 @@ def q29_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q30_null_safe",
     oracle="""
         SELECT
-          SUM(CASE WHEN value IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_eq,
-          SUM(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS n_error_or_null,
-          SUM(CASE WHEN coalesce(value, 0.0) = 0.0 THEN 1 ELSE 0 END) AS n_zeroish
+          CAST(SUM(CASE WHEN value IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_eq,
+          CAST(SUM(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_error_or_null,
+          CAST(SUM(CASE WHEN coalesce(value, 0.0) = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeroish
         FROM (
           SELECT CASE WHEN value < 1.0 THEN NULL ELSE value END AS value, event_type
           FROM events
@@ -276,7 +276,7 @@ def q35_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events

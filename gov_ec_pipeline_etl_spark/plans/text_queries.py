@@ -46,8 +46,8 @@ def _sw_list(lang: str) -> str:
 def t01_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T(spark, sf_dir, "documents").select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        bpe_ish_token_count("text").alias("n_bpe_ish"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("bigint").alias("n_bpe_ish"),
     )
 
 
@@ -165,10 +165,10 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t05_text_search",
     oracle="""
         SELECT
-          SUM(CASE WHEN text LIKE '%table%' THEN 1 ELSE 0 END) AS n_like,
-          SUM(CASE WHEN text LIKE 'key%' THEN 1 ELSE 0 END) AS n_prefix,
-          SUM(CASE WHEN regexp_matches(text, 'spark\\s+\\w+\\s+window') THEN 1 ELSE 0 END) AS n_regex,
-          SUM(CASE WHEN contains(text, 'merge batch') THEN 1 ELSE 0 END) AS n_contains
+          CAST(SUM(CASE WHEN text LIKE '%table%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like,
+          CAST(SUM(CASE WHEN text LIKE 'key%' THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix,
+          CAST(SUM(CASE WHEN regexp_matches(text, 'spark\\s+\\w+\\s+window') THEN 1 ELSE 0 END) AS BIGINT) AS n_regex,
+          CAST(SUM(CASE WHEN contains(text, 'merge batch') THEN 1 ELSE 0 END) AS BIGINT) AS n_contains
         FROM documents
     """,
     doc="Text-search predicate surface: LIKE infix/prefix, regexp match, "
@@ -258,7 +258,7 @@ def t07_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
         )
         SELECT doc_id,
-               SUM(c) AS n_tokens,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
                ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ratio,
                ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_ratio
         FROM counts GROUP BY doc_id

@@ -39,7 +39,11 @@ def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         T(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
         .where(F.col("rnk") <= 3)
     )
 
@@ -134,7 +138,11 @@ def q24_segment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         T(spark, sf_dir, "customer")
-        .select("c_mktsegment", "c_custkey", F.rank().over(w).alias("rnk"))
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
         .where(F.col("rnk") <= 5)
     )
 
