@@ -339,3 +339,31 @@ def q37_month_share_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share_of_year"),
     )
+
+
+@register(
+    "q38_bag_set_ops",
+    oracle="""
+        SELECT custkey, COUNT(*) AS multiplicity FROM (
+          SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        ) GROUP BY custkey
+    """,
+    doc="Bag-semantics set op (EXCEPT ALL): per-customer surplus of open "
+    "over finished orders, multiplicities preserved.",
+    tags=("set-op", "bag"),
+)
+def q38_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    open_ = o.where("o_orderstatus = 'O'").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    fin = o.where("o_orderstatus = 'F'").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        open_.exceptAll(fin)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )

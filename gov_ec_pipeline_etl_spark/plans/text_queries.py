@@ -318,3 +318,80 @@ def t09_length_bands_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band"),
     )
     return banded.groupBy("lang", "band").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "t10_tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+          FROM tf JOIN df USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, tfidf FROM (
+          SELECT doc_id, tok, tfidf,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, tok
+                 ) AS rnk
+          FROM scored
+        ) WHERE rnk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: term frequencies + document "
+    "frequencies (two aggregations over the exploded tokens) joined and "
+    "window-ranked — the keyword-extraction building block; IDF join is "
+    "broadcastable (vocabulary ≪ corpus).",
+    tags=("text", "tfidf", "llm-pipeline"),
+)
+def t10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
+
+
+@register(
+    "t11_hash_sample",
+    oracle="""
+        SELECT doc_id, lang FROM documents
+        WHERE CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              % 4294967296 < 1288490188  -- 0.3 * 2^32
+    """,
+    doc="Deterministic hash sampling (30% of documents by key hash): "
+    "membership is a pure function of the key via the portable hash, so "
+    "the SAME rows are selected in Spark and DuckDB — the reproducible "
+    "train/eval-split primitive (seeded sampleBy is the engine-local "
+    "statistical variant, unit-tested).",
+    tags=("sampling", "llm-pipeline"),
+)
+def t11_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.sampling import (
+        deterministic_hash_sample,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_hash_sample(d, "doc_id", 0.3, seed=0)

@@ -175,3 +175,35 @@ def test_simhash_column_equals_table(spark, docs_df):
         r.id: r.fp for r in simhash_table(docs_df, "doc_id", "text").collect()
     }
     assert via_col == via_table
+
+
+def test_stratified_sample_fractions(spark):
+    """sampleBy hits requested per-stratum fractions within tolerance."""
+    from gov_ec_pipeline_etl_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fracs = {"en": 0.5, "es": 0.2, "de": 1.0, "fr": 0.0, "zh": 0.0}
+    out = stratified_sample(docs, "lang", fracs, seed=7)
+    got = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert got.get("fr", 0) == 0 and got.get("zh", 0) == 0
+    assert got["de"] == totals["de"]
+    assert abs(got["en"] / totals["en"] - 0.5) < 0.15
+    assert abs(got["es"] / totals["es"] - 0.2) < 0.15
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    from gov_ec_pipeline_etl_spark.operators.sampling import (
+        deterministic_hash_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = {r.doc_id for r in deterministic_hash_sample(docs, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in deterministic_hash_sample(docs, "doc_id", 0.3).collect()}
+    assert s1 == s2  # reproducible
+    assert abs(len(s1) / docs.count() - 0.3) < 0.08
+    # monotone: smaller fraction ⊂ larger fraction
+    s_small = {
+        r.doc_id for r in deterministic_hash_sample(docs, "doc_id", 0.1).collect()
+    }
+    assert s_small <= s1
