@@ -101,15 +101,28 @@ def lsh_cosine_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """ANN top-k: bucket join on hyperplane sign keys, exact rerank
-    within bucket. Recall < 1 by construction (documented); raise
-    recall with fewer planes or multi-probe."""
+    within bucket. ``multi_probe=p`` also probes every bucket within
+    Hamming distance 1 of the query's key for the first p planes —
+    recall rises toward exact at the cost of (1+p)× candidate volume
+    (the standard LSH recall/cost dial; the corpus stays bucketed
+    once either way)."""
     dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("bucket", bucket_key(F.col("qv"), planes))
+    if multi_probe > 0:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(min(multi_probe, n_planes))
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", bucket_key(F.col("cv"), planes))
@@ -120,6 +133,10 @@ def lsh_cosine_topk(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
         )
     )
+    if multi_probe > 0:
+        # a neighbor can surface via several probed buckets — dedupe
+        # before ranking or it would occupy multiple top-k slots
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

@@ -395,3 +395,49 @@ def t11_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents").select("doc_id", "lang")
     return deterministic_hash_sample(d, "doc_id", 0.3, seed=0)
+
+
+@register(
+    "t12_sequence_packing",
+    oracle="""
+        WITH sized AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+          FROM documents
+        ),
+        packed AS (
+          SELECT doc_id, n_tok,
+                 CAST(floor(
+                   (SUM(n_tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                   / 512.0) AS BIGINT) AS pack_id
+          FROM sized
+        )
+        SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY pack_id
+    """,
+    doc="Sequence packing for training batches: documents in a "
+    "deterministic order split into ~512-token packs via a running-sum "
+    "window (pack = floor(tokens-before / capacity)) — the distributed "
+    "formulation of greedy sequential packing; one window pass, no "
+    "driver loop.",
+    tags=("text", "packing", "llm-pipeline"),
+)
+def t12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.operators.textstats import token_count
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = d.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0).cast("bigint"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )

@@ -207,3 +207,43 @@ def test_hash_sample_deterministic_and_sized(spark):
         r.doc_id for r in deterministic_hash_sample(docs, "doc_id", 0.1).collect()
     }
     assert s_small <= s1
+
+
+def test_multi_probe_lsh_improves_recall(spark):
+    """Probing 1-bit-adjacent buckets must not lose (and should gain)
+    recall vs single-bucket LSH, and stays a subset of exact top-k
+    correctness-wise."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((60, 16)).astype("float32")
+    vecs = [
+        (i, (base[i // 3 * 3] + 0.02 * rng.standard_normal(16).astype("float32")).tolist())
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = df.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, df, k=2).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_cosine_topk(queries, df, k=2, n_planes=6).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_cosine_topk(
+            queries, df, k=2, n_planes=6, multi_probe=3
+        ).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.5
