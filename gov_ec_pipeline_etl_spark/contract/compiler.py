@@ -88,12 +88,19 @@ class ContractPipeline:
         return df
 
     def coerce(self, df: DataFrame) -> DataFrame:
+        """Defensive type coercion for DECLARED columns only (reference
+        semantics: undeclared/extra columns pass through untouched —
+        etl/transform.py coerces per declared type group)."""
         c = self.c
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
         exprs = []
         for name in df.columns:
             col = F.col(name)
+            if name not in c.columns:
+                exprs.append(col)
+                continue
             t = c.spark_type(name)
-            cur = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[name]
+            cur = dtypes[name]
             if isinstance(t, TimestampType) and isinstance(cur, StringType):
                 exprs.append(coerce_datetime(col).alias(name))
             elif isinstance(t, DoubleType) and not isinstance(cur, DoubleType):

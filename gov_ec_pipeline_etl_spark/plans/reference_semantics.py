@@ -247,3 +247,83 @@ def r09_extras_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(packed == "{}", F.lit(None)).otherwise(packed).alias("extras"),
     )
+
+
+_R10_CONTRACT = {
+    "dataset": "events_demo",
+    "schema": {
+        "columns": {"event_type": "category", "value": "numeric"},
+        "pad_missing": True,
+    },
+    "normalize": {"trim_strings": True, "drop_all_null_rows": True},
+    "categories": {
+        "event_type": {
+            "map": {
+                "click": "Click", "view": "View", "purchase": "Purchase",
+                "signup": "Signup", "error": "Error",
+            },
+            "allowed": ["Click", "View", "Purchase", "Signup", "Error"],
+            "coerce_to": None,
+        }
+    },
+    "numeric_rules": {"value": {"min": 0, "max": 400}},
+    "ids": {
+        "business_key": {"fields": ["user_id", "ts", "event_type"]},
+        "surrogate": {"method": "sha256"},
+    },
+    "dedup": {"enforce_unique": True, "keep": "latest", "order_by": "ts"},
+}
+
+
+@register(
+    "r10_contract_end_to_end",
+    oracle="""
+        WITH mapped AS (
+          SELECT event_id, user_id, ts,
+                 CASE lower(trim(event_type))
+                   WHEN 'click' THEN 'Click' WHEN 'view' THEN 'View'
+                   WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Signup'
+                   WHEN 'error' THEN 'Error' ELSE event_type END AS event_type,
+                 CASE WHEN value >= 0 AND value <= 400 THEN value END AS value
+          FROM events
+        ),
+        keyed AS (
+          SELECT *,
+                 concat_ws('|', user_id, strftime(ts, '%Y-%m-%d %H:%M:%S'), event_type)
+                   AS business_key
+          FROM mapped
+        ),
+        deduped AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY business_key ORDER BY ts DESC
+            ) AS rn FROM keyed
+          ) WHERE rn = 1
+        )
+        SELECT sha256(business_key) AS surrogate_id,
+               business_key,
+               event_id,
+               event_type,
+               value
+        FROM deduped
+    """,
+    doc="The ENTIRE declarative contract pipeline — category map + domain "
+    "enforcement, numeric bounds, pandas-style key rendering, sha256 "
+    "surrogate, keep-latest dedup — compiled by ContractPipeline from a "
+    "config dict and verified end-to-end against one SQL oracle that "
+    "replicates the whole chain. The contract engine itself is "
+    "correctness-gated, not just its pieces.",
+    tags=("contract", "reference", "end-to-end"),
+)
+def r10_contract_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.contract.compiler import ContractPipeline
+    from gov_ec_pipeline_etl_spark.contract.model import Contract
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    pipeline = ContractPipeline(Contract.from_dict(_R10_CONTRACT))
+    out = pipeline.apply(ev).df
+    return out.select(
+        "surrogate_id", "business_key", "event_id", "event_type", "value"
+    )
