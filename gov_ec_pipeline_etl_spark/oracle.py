@@ -81,6 +81,20 @@ def compare(
     s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if s_cols != d_cols:
         return False, f"column mismatch: spark={s_cols} duckdb={d_cols}"
+    # The external harness canonicalizes via pandas sort_values, which cannot
+    # factorize list-typed columns — reject them here so the gap between this
+    # replica and the driver can't mask a failure (round-1 m03 trap).
+    for pdf, side in ((spark_pdf, "spark"), (duck_pdf, "duckdb")):
+        for c in pdf.columns:
+            if pdf[c].map(
+                lambda v: isinstance(v, (list, tuple))
+                or type(v).__name__ == "ndarray"
+            ).any():
+                return False, (
+                    f"non-scalar column {side}.{c}: list/array-valued outputs "
+                    "break the driver's canonicalizer — emit a joined string "
+                    "(array_join / array_to_string) or explode to rows"
+                )
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row count mismatch: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
     s_rows, d_rows = canonical_rows(spark_pdf), canonical_rows(duck_pdf)

@@ -114,7 +114,7 @@ def m02_apply_in_pandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(least(1.0, 256.0 / greatest(width, height)), 6) AS scale,
                CAST(floor(width  * least(1.0, 256.0 / greatest(width, height))) AS BIGINT) AS target_w,
                CAST(floor(height * least(1.0, 256.0 / greatest(width, height))) AS BIGINT) AS target_h,
-               list_transform(range(0, 4), i -> CAST(floor(i * n_bytes / 4) AS BIGINT)) AS frame_offsets
+               array_to_string(list_transform(range(0, 4), i -> CAST(floor(i * n_bytes / 4) AS BIGINT)), ',') AS frame_offsets
         FROM meta
     """,
     doc="Multimodal planning stages end-to-end: mapInPandas decode (stub "
@@ -143,5 +143,10 @@ def m03_resize_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_w").cast("bigint").alias("target_w"),
         F.col("target_h").cast("bigint").alias("target_h"),
     )
-    frames = frame_sample_plan(decoded, n_frames=4)
+    # frame_offsets leaves as a comma-joined string, not array<bigint>:
+    # external harnesses canonicalize results via pandas sort_values,
+    # which cannot factorize list-typed columns (round-1 driver ERR).
+    frames = frame_sample_plan(decoded, n_frames=4).select(
+        "media_id", F.array_join("frame_offsets", ",").alias("frame_offsets")
+    )
     return resized.join(frames, "media_id")
