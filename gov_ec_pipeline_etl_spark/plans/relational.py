@@ -228,7 +228,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q07_semi_join",
+    "x07_semi_join",
     oracle="""
         SELECT c_custkey, c_name
         FROM customer
@@ -243,7 +243,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to it; at scale the semi join shuffles on custkey.",
     tags=("semi-join",),
 )
-def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = T(spark, sf_dir, "customer")
     orders = T(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -255,7 +255,7 @@ def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q08_anti_join",
+    "x08_anti_join",
     oracle="""
         SELECT c_custkey, c_name
         FROM customer
@@ -266,7 +266,7 @@ def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl/extract.py:159-183) generalized to data scale.",
     tags=("anti-join",),
 )
-def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = T(spark, sf_dir, "customer")
     orders = T(spark, sf_dir, "orders")
     return cust.join(
@@ -275,7 +275,7 @@ def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q09_rollup",
+    "x09_rollup",
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
@@ -286,7 +286,7 @@ def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ROLLUP hierarchy aggregate (ABSENT in reference; native Spark).",
     tags=("agg", "rollup"),
 )
-def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -295,7 +295,7 @@ def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q10_cube",
+    "x10_cube",
     oracle="""
         SELECT c_mktsegment, n_name, COUNT(*) AS n_customers,
                ROUND(SUM(c_acctbal), 2) AS total_acctbal
@@ -305,7 +305,7 @@ def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CUBE aggregate over a broadcast dim join.",
     tags=("agg", "cube", "join"),
 )
-def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = T(spark, sf_dir, "customer")
     nation = T(spark, sf_dir, "nation")
     return (
@@ -319,7 +319,7 @@ def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q11_grouping_sets",
+    "x11_grouping_sets",
     oracle="""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n
         FROM lineitem
@@ -328,7 +328,7 @@ def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="GROUPING SETS via the engine's SQL surface (spark.sql).",
     tags=("agg", "grouping-sets", "sql"),
 )
-def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     T(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
     return spark.sql(
         """
@@ -340,7 +340,7 @@ def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q12_set_ops",
+    "x12_set_ops",
     oracle="""
         SELECT o_custkey AS custkey FROM orders
         INTERSECT
@@ -349,7 +349,7 @@ def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="INTERSECT set op (distinct semantics).",
     tags=("set-op",),
 )
-def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     cust = (
         T(spark, sf_dir, "customer")
@@ -360,7 +360,7 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q13_except",
+    "x13_except",
     oracle="""
         SELECT c_custkey AS custkey FROM customer
         EXCEPT
@@ -369,14 +369,17 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="EXCEPT set op (distinct semantics).",
     tags=("set-op",),
 )
-def q13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     fin = (
         T(spark, sf_dir, "orders")
         .where(F.col("o_orderstatus") == "F")
         .select(F.col("o_custkey").alias("custkey"))
     )
-    return cust.exceptAll(fin.distinct()).distinct()
+    # subtract = EXCEPT-distinct; exceptAll(...).distinct() differs when
+    # the left side holds duplicates (one occurrence of a removed key
+    # would survive the multiset subtraction and then pass distinct)
+    return cust.subtract(fin)
 
 
 @register(
@@ -417,7 +420,7 @@ def q14_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q15_brand_revenue",
+    "x15_brand_revenue",
     oracle="""
         SELECT p_brand,
                COUNT(*) AS n_lines,
@@ -431,7 +434,7 @@ def q14_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct aggregate).",
     tags=("join", "agg", "distinct"),
 )
-def q15_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x15_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     part = T(spark, sf_dir, "part")
     return (

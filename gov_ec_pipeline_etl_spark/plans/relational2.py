@@ -5,7 +5,7 @@ string expression surface, and the uuid5 surrogate path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from gov_ec_pipeline_etl_spark.functions.ids import business_key, surrogate_uuid5
 from gov_ec_pipeline_etl_spark.plans.registry import register
@@ -13,7 +13,7 @@ from gov_ec_pipeline_etl_spark.plans.util import T
 
 
 @register(
-    "q16_percentiles",
+    "x16_percentiles",
     oracle="""
         SELECT event_type,
                ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
@@ -28,7 +28,7 @@ from gov_ec_pipeline_etl_spark.plans.util import T
     "shape is identical, the trade is documented.",
     tags=("agg", "percentile"),
 )
-def q16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         T(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -42,7 +42,7 @@ def q16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q17_correlated_subquery",
+    "x17_correlated_subquery",
     oracle="""
         SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
         FROM customer c
@@ -55,7 +55,7 @@ def q16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decorrelated by Catalyst into an aggregate + join.",
     tags=("subquery", "join"),
 )
-def q17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     T(spark, sf_dir, "customer").createOrReplaceTempView("_q17_customer")
     return spark.sql(
         """
@@ -70,7 +70,7 @@ def q17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q18_pivot",
+    "x18_pivot",
     oracle="""
         SELECT n_name,
           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END), 0) AS BIGINT) AS automobile,
@@ -86,7 +86,7 @@ def q17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "add a distinct-scan job.",
     tags=("pivot", "agg"),
 )
-def q18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = T(spark, sf_dir, "customer")
     nation = T(spark, sf_dir, "nation")
     segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -100,7 +100,7 @@ def q18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q19_string_expressions",
+    "x19_string_expressions",
     oracle="""
         SELECT o_orderkey,
                upper(o_orderpriority) AS pri_upper,
@@ -117,7 +117,7 @@ def q18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length, replace, concat, CASE bands) — all codegen builtins.",
     tags=("scalar", "string"),
 )
-def q19_string_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x19_string_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -157,16 +157,44 @@ def r08_surrogate_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21b_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific by definition; the
-    # accuracy bound vs exact countDistinct is unit-tested
+    # HLL sketch values are engine-specific by definition, so the gated
+    # output is the TOLERANCE CHECK: exact countDistinct is computed
+    # alongside and the query emits abs(approx-exact)/exact <= 0.02 per
+    # group; the oracle asserts those booleans are literally true.
+    oracle="""
+        SELECT l_returnflag,
+               TRUE AS orders_within_tol,
+               TRUE AS parts_within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++) per group — the 100 TB "
     "substitute for exact distinct counts (no giant distinct shuffle); "
-    "rsd=0.01. Accuracy vs exact is pinned in tests/test_llm_ops.py.",
+    "rsd=0.01. Gated by emitting the |approx-exact|/exact <= 0.02 bound "
+    "as a boolean the oracle asserts literally (exact is computed only "
+    "to gate the sketch; production callers use the approx path alone).",
     tags=("agg", "approx"),
 )
 def q21b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+
+    def within(approx: Column, exact: Column) -> Column:
+        return (
+            F.abs(approx.cast("double") - exact) / exact <= F.lit(0.02)
+        )
+
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        within(F.col("approx_orders"), F.col("exact_orders")).alias(
+            "orders_within_tol"
+        ),
+        within(F.col("approx_parts"), F.col("exact_parts")).alias(
+            "parts_within_tol"
+        ),
     )

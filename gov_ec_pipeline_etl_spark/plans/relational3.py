@@ -14,7 +14,7 @@ from gov_ec_pipeline_etl_spark.plans.util import T
 
 
 @register(
-    "q26_union_all_activity",
+    "x26_union_all_activity",
     oracle="""
         SELECT kind, ym, COUNT(*) AS n FROM (
           SELECT 'order' AS kind, strftime(o_orderdate, '%Y-%m') AS ym FROM orders
@@ -26,7 +26,7 @@ from gov_ec_pipeline_etl_spark.plans.util import T
     "aggregate (bag semantics, no dedup shuffle).",
     tags=("set-op", "agg"),
 )
-def q26_union_all_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x26_union_all_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders").select(
         F.lit("order").alias("kind"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
@@ -43,7 +43,7 @@ def q26_union_all_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q27_in_subquery",
+    "x27_in_subquery",
     oracle="""
         SELECT o_orderkey, o_custkey
         FROM orders
@@ -55,7 +55,7 @@ def q26_union_all_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rewrite.",
     tags=("subquery", "semi-join"),
 )
-def q27_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x27_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     T(spark, sf_dir, "orders").createOrReplaceTempView("_q27_orders")
     T(spark, sf_dir, "customer").createOrReplaceTempView("_q27_customer")
     return spark.sql(
@@ -70,7 +70,7 @@ def q27_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q28_having",
+    "x28_having",
     oracle="""
         SELECT o_custkey, COUNT(*) AS n_orders,
                ROUND(SUM(o_totalprice), 2) AS total
@@ -81,7 +81,7 @@ def q27_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="HAVING post-aggregate filter (customers with ≥15 orders).",
     tags=("agg", "having"),
 )
-def q28_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x28_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -94,7 +94,7 @@ def q28_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q29_argmax",
+    "x29_argmax",
     oracle="""
         SELECT o_custkey,
                arg_max(o_orderkey, o_totalprice) AS best_orderkey,
@@ -106,7 +106,7 @@ def q28_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank-1 window when only the extremal row's key is needed.",
     tags=("agg", "argmax"),
 )
-def q29_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x29_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -118,7 +118,7 @@ def q29_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q30_null_safe",
+    "x30_null_safe",
     oracle="""
         SELECT
           CAST(SUM(CASE WHEN value IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_eq,
@@ -133,7 +133,7 @@ def q29_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DISTINCT FROM), nullif, coalesce.",
     tags=("scalar", "null"),
 )
-def q30_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x30_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").select(
         F.when(F.col("value") < 1.0, None).otherwise(F.col("value")).alias("value"),
         "event_type",
@@ -152,7 +152,7 @@ def q30_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q31_date_arithmetic",
+    "x31_date_arithmetic",
     oracle="""
         SELECT
           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
@@ -167,7 +167,7 @@ def q30_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aligned via -1.",
     tags=("scalar", "datetime", "agg"),
 )
-def q31_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x31_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     return (
         o.select(
@@ -186,7 +186,7 @@ def q31_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q32_filtered_agg",
+    "x32_filtered_agg",
     oracle="""
         SELECT l_returnflag,
                COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
@@ -199,7 +199,7 @@ def q31_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="FILTER-ed aggregates (conditional aggregation in one pass).",
     tags=("agg", "filter"),
 )
-def q32_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x32_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
@@ -211,7 +211,7 @@ def q32_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q34_salted_agg",
+    "x34_salted_agg",
     oracle="""
         SELECT event_type,
                COUNT(*) AS n,
@@ -227,7 +227,7 @@ def q32_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "'hot': the worst case for an unsalted agg, the intended case here.",
     tags=("agg", "skew", "salting"),
 )
-def q34_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x34_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_ec_pipeline_etl_spark.operators.skew import salted_two_phase_agg
 
     ev = T(spark, sf_dir, "events")
@@ -249,7 +249,7 @@ def q34_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q35_string_agg",
+    "x35_string_agg",
     oracle="""
         SELECT l_returnflag,
                string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
@@ -261,7 +261,7 @@ def q34_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_agg DISTINCT ORDER BY) — deterministic by construction.",
     tags=("agg", "string-agg"),
 )
-def q35_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x35_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.array_join(
@@ -272,7 +272,7 @@ def q35_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q36_json_extract",
+    "x36_json_extract",
     oracle="""
         SELECT event_type,
                COUNT(*) AS n,
@@ -287,7 +287,7 @@ def q35_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_type — schema-on-read without a UDF.",
     tags=("json", "agg", "semi-structured"),
 )
-def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     k = F.from_json("props", "k BIGINT")["k"]
     return (
@@ -303,7 +303,7 @@ def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q37_month_share_of_year",
+    "x37_month_share_of_year",
     oracle="""
         WITH monthly AS (
           SELECT strftime(o_orderdate, '%Y') AS y,
@@ -320,7 +320,7 @@ def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregated (small) frame, no second pass over the fact table.",
     tags=("window", "agg", "analytic"),
 )
-def q37_month_share_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x37_month_share_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = T(spark, sf_dir, "orders")
@@ -342,7 +342,7 @@ def q37_month_share_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q38_bag_set_ops",
+    "x38_bag_set_ops",
     oracle="""
         SELECT custkey, COUNT(*) AS multiplicity FROM (
           SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
@@ -354,7 +354,7 @@ def q37_month_share_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over finished orders, multiplicities preserved.",
     tags=("set-op", "bag"),
 )
-def q38_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x38_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     open_ = o.where("o_orderstatus = 'O'").select(
         F.col("o_custkey").alias("custkey")

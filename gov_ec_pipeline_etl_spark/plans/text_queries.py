@@ -22,7 +22,13 @@ from gov_ec_pipeline_etl_spark.operators.textstats import (
 from gov_ec_pipeline_etl_spark.plans.registry import register
 from gov_ec_pipeline_etl_spark.plans.util import T
 
-_TOKS = "string_split(trim(text), ' ')"
+# \s+ split to mirror the Spark side's tokens() exactly — a single-space
+# split silently diverges on runs of whitespace/tabs (ADVICE round 1);
+# empty text guards to an empty list just like tokens() does.
+_TOKS = (
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
 
 
 def _sw_list(lang: str) -> str:

@@ -49,7 +49,7 @@ def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q21_running_sum",
+    "x21_running_sum",
     oracle="""
         SELECT event_id,
                ROUND(SUM(value) OVER (
@@ -62,7 +62,7 @@ def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic tie-break so both engines accumulate identically).",
     tags=("window",),
 )
-def q21_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x21_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -74,7 +74,7 @@ def q21_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q22_lag_delta",
+    "x22_lag_delta",
     oracle="""
         SELECT event_id,
                ROUND(value - LAG(value) OVER (
@@ -85,7 +85,7 @@ def q21_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="LAG-based delta vs previous event per user.",
     tags=("window",),
 )
-def q22_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x22_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return T(spark, sf_dir, "events").select(
         "event_id",
@@ -94,7 +94,7 @@ def q22_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q23_moving_avg",
+    "x23_moving_avg",
     oracle="""
         SELECT event_id,
                ROUND(AVG(value) OVER (
@@ -106,7 +106,7 @@ def q22_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sliding-frame moving average (ROWS 3 PRECEDING).",
     tags=("window",),
 )
-def q23_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x23_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -118,7 +118,7 @@ def q23_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q24_segment_rank",
+    "x24_segment_rank",
     oracle="""
         SELECT c_mktsegment, c_custkey, rnk FROM (
           SELECT c_mktsegment, c_custkey,
@@ -132,7 +132,7 @@ def q23_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="RANK within segment, top-5.",
     tags=("window", "topk"),
 )
-def q24_segment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x24_segment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
@@ -203,7 +203,7 @@ def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q33_range_frame",
+    "x33_range_frame",
     oracle="""
         SELECT event_id,
                COUNT(*) OVER (
@@ -217,7 +217,7 @@ def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer range in both engines.",
     tags=("window", "range-frame"),
 )
-def q33_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x33_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
     w = (
         Window.partitionBy("user_id")
