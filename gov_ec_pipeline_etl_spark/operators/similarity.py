@@ -2,9 +2,11 @@
 
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
   Queries broadcast against the corpus (one scan, no shuffle of the
-  corpus side); per-pair cosine is a zip_with/aggregate expression
-  (JVM-side, codegen). Linear in |corpus|×|queries|: right when the
-  query set is small or recall must be exact.
+  corpus side); per-pair cosine is an UNROLLED arithmetic expression
+  (whole-stage codegen — array HOFs are interpreted per element, see
+  PERF.md item 2) with norms precomputed per side. Linear in
+  |corpus|×|queries|: right when the query set is small or recall must
+  be exact.
 - ``lsh_cosine_topk``: random-hyperplane LSH — the 100 TB path. Each
   vector maps to a small bucket key (sign bits against P fixed
   hyperplanes); candidates share a bucket (multi-probe within Hamming
@@ -28,20 +30,49 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality, read from one row (tiny driver job)."""
+    return int(df.select(F.size(vec_col)).first()[0])
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def dot(a: str, b: str, dim: int) -> Column:
+    """Dot product as a flat UNROLLED arithmetic expression.
+
+    Catalyst evaluates array higher-order functions (zip_with/aggregate)
+    interpreted, one element at a time — the measured ~15× anti-pattern
+    of PERF.md item 2. Unrolling over the (known, small) dimensionality
+    yields a single whole-stage-codegen expression with the SAME
+    left-to-right addition order as both the old HOF kernel and DuckDB's
+    sequential list_dot_product, so results stay bit-identical while the
+    evaluation moves into generated JVM code. Built as ONE SQL string:
+    composing ~200 Column objects through py4j costs ~2 s of driver time
+    per run, while parsing the equivalent string is milliseconds.
+
+    ``a``/``b`` are SQL expression strings (column names, possibly
+    alias-qualified like ``a.v``), not Column objects."""
+    return F.expr(_dot_sql(a, b, dim))
+
+
+def l2_norm(a: str, dim: int) -> Column:
+    return F.sqrt(F.expr(_dot_sql(a, a, dim)))
+
+
+def cosine(a: str, b: str, dim: int) -> Column:
+    """Per-pair cosine. Prefer precomputing ``l2_norm`` per SIDE before
+    a join (norms are per-vector, not per-pair) — the join body then
+    evaluates one dot product instead of three."""
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+
+
+def _dlit(x: float) -> str:
+    """SQL DOUBLE literal: plain decimals parse as DECIMAL in Spark SQL
+    (suffix D forces double); scientific notation is already double."""
+    r = repr(float(x))
+    return r if "e" in r or "E" in r else r + "D"
 
 
 def cosine_topk(
@@ -53,19 +84,22 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query (self-matches excluded).
     Output: query_id, neighbor_id, rnk — ties broken by neighbor id."""
+    dim = vec_dim(corpus, vec_col)
+    # norms are per-vector: compute them on each SIDE of the join so the
+    # per-pair body is one unrolled dot product, not dot + two norms
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", l2_norm("qv", dim))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", l2_norm("cv", dim))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot("qv", "cv", dim) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -83,14 +117,16 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
-def bucket_key(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id against fixed hyperplanes (int key)."""
-    key = F.lit(0).cast("bigint")
+def bucket_key(vec: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id against fixed hyperplanes (int key).
+    Plane coefficients are Python floats, so each sign test unrolls to a
+    literal-weighted sum — pure codegen, no array literals or HOFs.
+    Built as one SQL string for the same plan-time reason as ``dot``."""
+    bits = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        key = key + bit.cast("bigint")
-    return key
+        proj = " + ".join(f"{vec}[{j}]*{_dlit(c)}" for j, c in enumerate(p))
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(bits))
 
 
 def lsh_cosine_topk(
@@ -109,11 +145,15 @@ def lsh_cosine_topk(
     recall rises toward exact at the cost of (1+p)× candidate volume
     (the standard LSH recall/cost dial; the corpus stays bucketed
     once either way)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = vec_dim(corpus, vec_col)
     planes = hyperplanes(dim, n_planes, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", bucket_key(F.col("qv"), planes))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("qn", l2_norm("qv", dim))
+        .withColumn("bucket", bucket_key("qv", planes))
+    )
     if multi_probe > 0:
         probes = F.array(
             F.col("bucket"),
@@ -123,14 +163,20 @@ def lsh_cosine_topk(
             ],
         )
         q = q.withColumn("bucket", F.explode(probes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", bucket_key(F.col("cv"), planes))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cn", l2_norm("cv", dim))
+        .withColumn("bucket", bucket_key("cv", planes))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+            "query_id",
+            "neighbor_id",
+            (dot("qv", "cv", dim) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     if multi_probe > 0:
@@ -158,13 +204,13 @@ def cosine_near_pairs(
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold, id_a < id_b).
     ``bucketed=False`` runs the exact quadratic variant (oracle mode)."""
+    dim = vec_dim(df, vec_col)
     v = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("n", l2_norm("v", dim))
     if bucketed:
-        dim = len(df.select(vec_col).first()[0])
         planes = hyperplanes(dim, n_planes, seed)
-        v = v.withColumn("bucket", bucket_key(F.col("v"), planes))
+        v = v.withColumn("bucket", bucket_key("v", planes))
         joined = v.alias("a").join(
             v.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -176,7 +222,7 @@ def cosine_near_pairs(
         joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+            (dot("a.v", "b.v", dim) / (F.col("a.n") * F.col("b.n"))).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 3).alias("cos_r"))

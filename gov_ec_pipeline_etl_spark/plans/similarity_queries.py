@@ -47,9 +47,9 @@ _COS_SQL = """
         ) WHERE rnk <= 5
     """,
     doc="Exact brute-force cosine top-5 for 10 query vectors: broadcast "
-    "queries × corpus scan, zip_with/aggregate dot products, window "
-    "top-k. The exact-recall baseline every ANN variant is judged "
-    "against.",
+    "queries × corpus scan, unrolled whole-stage-codegen dot products "
+    "(norms precomputed per side), window top-k. The exact-recall "
+    "baseline every ANN variant is judged against.",
     bench=True,
     tags=("similarity", "llm-pipeline"),
 )
@@ -142,15 +142,20 @@ def s03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ivf", "llm-pipeline"),
 )
 def s04_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gov_ec_pipeline_etl_spark.operators.similarity import as_double, cosine
+    from gov_ec_pipeline_etl_spark.operators.similarity import (
+        as_double,
+        cosine,
+        vec_dim,
+    )
 
     emb = T(spark, sf_dir, "embeddings")
+    dim = vec_dim(emb, "embedding")
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     cents = vecs.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cent_id", cosine(F.col("v"), F.col("cv")).alias("cos")
+        "vec_id", "cent_id", cosine("v", "cv", dim).alias("cos")
     )
     assigned = scored.groupBy("vec_id").agg(
         F.min_by("cent_id", F.struct((-F.col("cos")).alias("s"), "cent_id")).alias(
@@ -190,21 +195,28 @@ def s04_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "kmeans", "iterative", "llm-pipeline"),
 )
 def s05_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gov_ec_pipeline_etl_spark.operators.similarity import as_double, cosine
+    from gov_ec_pipeline_etl_spark.operators.similarity import (
+        as_double,
+        cosine,
+        vec_dim,
+    )
 
     emb = T(spark, sf_dir, "embeddings")
+    dim = vec_dim(emb, "embedding")
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     cents = vecs.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("cos")
+        "vec_id", "v", "cent_id", cosine("v", "cv", dim).alias("cos")
     )
     assigned = scored.groupBy("vec_id").agg(
         F.max_by("cent_id", "cos").alias("cent_id"),
         F.first("v").alias("v"),
     )
-    comp_sum = F.aggregate("v", F.lit(0.0), lambda a, x: a + x)
+    # unrolled component sum (same left-to-right order as list_sum),
+    # built as one SQL string for plan-time economy
+    comp_sum = F.expr(" + ".join(f"v[{i}]" for i in range(dim)))
     return assigned.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg(comp_sum), 6).alias("mean_component_sum"),
