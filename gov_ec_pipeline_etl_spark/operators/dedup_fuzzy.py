@@ -28,7 +28,14 @@ def shingle_rows(
     Row formulation of ``word_shingles`` (same sets): tokens explode to
     rows, shingles assemble via window ``lead`` — everything stays in
     whole-stage codegen, unlike array higher-order lambdas which Catalyst
-    interprets per element (~15× slower at sf0.1). One shuffle on id.
+    interprets per element (~15× slower at sf0.1).
+
+    ONE exchange total: documents shorter than k words ride the same
+    explode (a one-element array), and per-document dedup runs as a
+    second window over the SAME id-partitioning (local sort, no
+    reshuffle) instead of a ``distinct()``, whose (id, s) exchange would
+    also destroy the id-partitioning that downstream per-id aggregates
+    (signatures, set sizes) reuse exchange-free.
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     base = df.select(
@@ -36,22 +43,31 @@ def shingle_rows(
         norm.alias("norm"),
         F.size(F.split(norm, " ")).alias("n"),
     )
-    small = base.where(F.col("n") < k).select("id", F.col("norm").alias("s"))
-    toks = base.where(F.col("n") >= k).select(
-        "id", F.posexplode(F.split("norm", " ")).alias("pos", "t")
+    toks = base.select(
+        "id",
+        "n",
+        F.posexplode(
+            F.when(F.col("n") >= k, F.split("norm", " ")).otherwise(
+                F.array("norm")
+            )
+        ).alias("pos", "t"),
     )
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("t", j).over(w) for j in range(1, k)]
-    full = (
-        toks.select(
-            "id",
-            F.concat_ws(" ", F.col("t"), *leads).alias("s"),
-            leads[-1].isNotNull().alias("full"),
-        )
-        .where("full")
+    shingled = toks.select(
+        "id",
+        F.when(F.col("n") >= k, F.concat_ws(" ", F.col("t"), *leads))
+        .otherwise(F.col("t"))
+        .alias("s"),
+        ((F.col("n") < k) | leads[-1].isNotNull()).alias("keep"),
+    ).where("keep")
+    w2 = Window.partitionBy("id").orderBy("s")
+    prev = F.lag("s").over(w2)
+    return (
+        shingled.withColumn("dup", prev.isNotNull() & (prev == F.col("s")))
+        .where(~F.col("dup"))
         .select("id", "s")
     )
-    return full.unionByName(small).distinct()
 
 
 def jaccard_verify(
@@ -141,6 +157,13 @@ def minhash_lsh_pairs(
         .select("id", hash64(F.col("s"), 0, portable).alias("h60"))
         .persist()
     )
+    # Materialize the sketch BEFORE fan-out: the signature aggregation and
+    # the three verification branches all read it, and a lazily-persisted
+    # table consumed by concurrent stages of one job gets racily
+    # recomputed per branch (measured ~3 s extra at sf0.1). One count()
+    # is the cache barrier (cluster equivalent: write the sketch table
+    # out once and scan it).
+    sh.count()
     # Signature via groupBy min-aggregates: the per-row affine hashes run
     # inside whole-stage codegen.
     exploded = sh.withColumn("h", F.col("h60") % F.lit(2**32))
@@ -285,7 +308,10 @@ def simhash_pairs(
     distances ≥ chunks is partial by design (standard chunk-LSH)."""
     chunk_bits = SIMHASH_BITS // chunks
     fp = simhash_table(df, id_col, text_col, portable).persist()
-    # persisted: reused by both self-join sides; fingerprinting is the hot stage
+    # persisted AND materialized: reused by both self-join sides;
+    # fingerprinting is the hot stage (see the cache-barrier note in
+    # minhash_lsh_pairs)
+    fp.count()
     chunked = fp.select(
         "id",
         "fp",
@@ -338,6 +364,7 @@ def ngram_jaccard_pairs(
     noise, and dropping them is the documented recall trade), pair within
     buckets, verify exactly."""
     sh = shingle_rows(df, id_col, text_col, k).persist()
+    sh.count()  # cache barrier before fan-out (see minhash_lsh_pairs)
     # inverted index: bucket sizes via window count over the shingle key —
     # buckets over max_bucket are dropped (documented recall trade);
     # pairing is a bucket self-join on the shingle.
