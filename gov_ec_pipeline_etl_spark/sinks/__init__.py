@@ -8,5 +8,6 @@ errors are non-fatal; state promotion is commit-gated (orchestrator).
 from gov_ec_pipeline_etl_spark.sinks.upsert import upsert_parquet
 from gov_ec_pipeline_etl_spark.sinks.audit import AuditLedger
 from gov_ec_pipeline_etl_spark.sinks.artifacts import upload_tree
+from gov_ec_pipeline_etl_spark.sinks.merge_sql import upsert_dbapi
 
-__all__ = ["AuditLedger", "upload_tree", "upsert_parquet"]
+__all__ = ["AuditLedger", "upload_tree", "upsert_dbapi", "upsert_parquet"]

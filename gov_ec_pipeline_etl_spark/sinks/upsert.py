@@ -4,23 +4,42 @@ The reference upserted row-dicts over HTTP in shrinking batches
 (load.py:387-441) — a workaround for a row-oriented REST sink. The
 engine-native equivalent is a set-based MERGE:
 
-- **Production path**: Delta Lake ``MERGE INTO target USING updates ON
-  target.key = updates.key WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
-  THEN INSERT`` — one shuffle on the key, transactional, scales to any
-  size. (Delta isn't bundled in this container, so that path is gated.)
-- **Bundled path**: merge-by-rewrite on plain parquet — read current
-  snapshot, anti-join out matched keys, union the updates, write a new
-  snapshot directory, atomically swap a pointer file. Idempotent by
-  construction (same input twice → same state), which is the property
-  the reference's batching/retry machinery existed to protect.
+- **Production path (transactional)**: Delta Lake ``MERGE INTO target
+  USING updates ON target.key = updates.key WHEN MATCHED THEN UPDATE
+  WHEN NOT MATCHED THEN INSERT`` — one shuffle on the key, ACID, scales
+  to any size. (Delta isn't bundled in this container, so that path is
+  gated.) Database targets get the same semantics through the DB-API /
+  JDBC executor in ``sinks.merge_sql`` (staging + ``INSERT … ON
+  CONFLICT (key) DO UPDATE`` run by the database) — gated against
+  SQLite in tests/test_merge_sink.py.
+- **Bundled parquet path**: MERGE semantics on a parquet table.
+  Partitioned targets take the PARTITION-SCOPED path: semi-derive the
+  partitions the updates touch, anti-join matched keys within only
+  those partitions, and rewrite only those partition directories via
+  dynamic partition overwrite — untouched partitions are neither read
+  nor rewritten, so a weekly load is O(touched), not O(table), at
+  100 TB. Unpartitioned targets use snapshot-rewrite with an atomic
+  pointer swap. Both are idempotent by construction (same input twice →
+  same state), which is the property the reference's batching/retry
+  machinery existed to protect.
 
-JDBC targets get the same semantics via staging + ``INSERT … ON
-CONFLICT (key) DO UPDATE`` executed by the database.
+Partition-scoped merge REQUIRES the partition columns to be stable
+functions of the merge key (in the reference they are business-key
+components — ano / codigo_provincia, sql/010:60-70 — so an existing
+key can never change partition). If updates may move a key across
+partitions, pass ``allow_partition_move=True`` to fall back to the
+full-table merge.
+
+Snapshot GC is deferred one generation: the previous snapshot survives
+the pointer swap (a concurrent reader that resolved the old pointer can
+finish its scan) and is deleted by the NEXT successful upsert.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import operator
 import os
 import shutil
 import uuid
@@ -46,14 +65,33 @@ def read_table(spark: SparkSession, target_dir: str) -> DataFrame | None:
     return spark.read.parquet(snap) if snap else None
 
 
+def _touched_partition_filter(
+    updates: DataFrame, partition_by: list[str]
+) -> F.Column:
+    """OR-of-ANDs predicate for the distinct partition tuples present in
+    the updates. Partition tuples are driver-scale metadata (bounded by
+    the partition count, not the data), like any catalog pruning list.
+    eqNullSafe so null partition values prune correctly."""
+    touched = updates.select(*partition_by).distinct().collect()
+    clauses = [
+        functools.reduce(
+            operator.and_,
+            [F.col(c).eqNullSafe(F.lit(row[c])) for c in partition_by],
+        )
+        for row in touched
+    ]
+    return functools.reduce(operator.or_, clauses)
+
+
 def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
     target_dir: str,
     key: str = "surrogate_id",
     partition_by: list[str] | None = None,
+    allow_partition_move: bool = False,
 ) -> dict[str, int]:
-    """MERGE semantics on a parquet snapshot table. Returns metrics.
+    """MERGE semantics on a parquet table. Returns metrics.
 
     Updates must be unique on ``key`` (the contract dedup guarantees it);
     enforced here defensively with a keep-first dropDuplicates.
@@ -62,21 +100,23 @@ def upsert_parquet(
     (date/province composite indexes, sql/010:60-70): partitioning the
     table by e.g. ``ano`` / ``codigo_provincia`` gives Spark static +
     dynamic partition pruning on exactly the predicates those indexes
-    served. At 100 TB this is the difference between a full scan and
-    reading one partition.
+    served, and scopes the merge itself to the touched partitions.
     """
     os.makedirs(target_dir, exist_ok=True)
     updates = updates.dropDuplicates([key])
     current = read_table(spark, target_dir)
-
     n_updates = updates.count()
+
+    if current is not None and partition_by and not allow_partition_move:
+        return _merge_touched_partitions(
+            spark, updates, target_dir, key, partition_by, n_updates
+        )
+
     if current is None:
         merged = updates
         n_matched = 0
     else:
-        n_matched = (
-            current.join(updates.select(key), key, "left_semi").count()
-        )
+        n_matched = current.join(updates.select(key), key, "left_semi").count()
         merged = current.join(
             updates.select(key), key, "left_anti"
         ).unionByName(updates, allowMissingColumns=True)
@@ -88,17 +128,65 @@ def upsert_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(snap_path)
 
-    # atomic pointer swap, then GC the old snapshot
     old = _current_snapshot(target_dir)
-    tmp = os.path.join(target_dir, f".{_POINTER}.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"snapshot": snap_name}, f)
-    os.replace(tmp, os.path.join(target_dir, _POINTER))
-    if old and os.path.basename(old) != snap_name:
-        shutil.rmtree(old, ignore_errors=True)
+    _swap_pointer(target_dir, snap_name)
+    _gc_snapshots(target_dir, keep={snap_name, os.path.basename(old or "")})
 
     return {
         "rows_upserted": n_updates,
         "rows_matched": n_matched,
         "rows_inserted": n_updates - n_matched,
     }
+
+
+def _merge_touched_partitions(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_dir: str,
+    key: str,
+    partition_by: list[str],
+    n_updates: int,
+) -> dict[str, int]:
+    """Partition-scoped MERGE: read + rewrite ONLY the partitions the
+    updates touch (dynamic partition overwrite); untouched partition
+    directories are never scanned (partition pruning on the touched-
+    tuples predicate) and never rewritten. O(touched) I/O per load."""
+    snap = _current_snapshot(target_dir)
+    current = spark.read.parquet(snap)
+    pred = _touched_partition_filter(updates, partition_by)
+    cur_touched = current.where(pred)
+    n_matched = cur_touched.join(updates.select(key), key, "left_semi").count()
+    merged = cur_touched.join(
+        updates.select(key), key, "left_anti"
+    ).unionByName(updates, allowMissingColumns=True)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(snap)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    n_touched = updates.select(*partition_by).distinct().count()
+    return {
+        "rows_upserted": n_updates,
+        "rows_matched": n_matched,
+        "rows_inserted": n_updates - n_matched,
+        "partitions_rewritten": n_touched,
+    }
+
+
+def _swap_pointer(target_dir: str, snap_name: str) -> None:
+    tmp = os.path.join(target_dir, f".{_POINTER}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"snapshot": snap_name}, f)
+    os.replace(tmp, os.path.join(target_dir, _POINTER))
+
+
+def _gc_snapshots(target_dir: str, keep: set[str]) -> None:
+    """Deferred GC: the just-replaced snapshot is in ``keep`` and
+    survives until the next upsert, so concurrent readers that resolved
+    the old pointer can finish (single-writer assumed, readers any)."""
+    for name in os.listdir(target_dir):
+        if name.startswith("snapshot_") and name not in keep:
+            shutil.rmtree(os.path.join(target_dir, name), ignore_errors=True)

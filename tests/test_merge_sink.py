@@ -1,0 +1,122 @@
+"""Gate for the database-target MERGE path (reference load.py:387-441).
+
+SQLite is the in-container stand-in for the production JDBC/Postgres
+target: a real file database, real ON CONFLICT resolution, real
+concurrent partition writers (serialized by the database lock, absorbed
+by the retry/backoff loop) — the same execution shape as
+``df.write.jdbc``-staging + target-side MERGE, minus the driver jar.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from gov_ec_pipeline_etl_spark.sinks.merge_sql import (
+    merge_upsert_sql,
+    sqlite_connect_factory,
+    upsert_dbapi,
+    write_batches,
+)
+
+
+def test_merge_sql_dialects():
+    sql = merge_upsert_sql("t", ["k", "a", "b"], "k", "sqlite")
+    assert sql == (
+        "INSERT INTO t (k, a, b) VALUES (?, ?, ?) "
+        "ON CONFLICT (k) DO UPDATE SET a = excluded.a, b = excluded.b"
+    )
+    pg = merge_upsert_sql("t", ["k", "a"], "k", "postgres")
+    assert "%s" in pg and "excluded.a" in pg
+    ansi = merge_upsert_sql("t", ["k", "a"], "k", "ansi")
+    assert ansi.startswith("MERGE INTO t t USING")
+    assert "WHEN MATCHED THEN UPDATE SET t.a = s.a" in ansi
+    assert "WHEN NOT MATCHED THEN INSERT (k, a) VALUES (s.k, s.a)" in ansi
+    # key-only table: conflict resolution degrades to DO NOTHING
+    assert merge_upsert_sql("t", ["k"], "k", "sqlite").endswith("DO NOTHING")
+    with pytest.raises(ValueError):
+        merge_upsert_sql("t", ["a"], "k", "sqlite")
+    with pytest.raises(ValueError):
+        merge_upsert_sql("t", ["k"], "k", "oracle-12c")
+
+
+def test_upsert_dbapi_end_to_end(spark, tmp_path):
+    """Distributed upsert into SQLite: insert, update, idempotency —
+    across 4 concurrent partition writers."""
+    db = str(tmp_path / "target.db")
+    with sqlite3.connect(db) as con:
+        con.execute(
+            "CREATE TABLE detenidos (surrogate_id TEXT PRIMARY KEY, "
+            "ano INTEGER, total REAL)"
+        )
+    connect = sqlite_connect_factory(db)
+
+    df = spark.createDataFrame(
+        [(f"k{i}", 2020 + i % 3, float(i)) for i in range(200)],
+        "surrogate_id: string, ano: int, total: double",
+    ).repartition(4)
+    upsert_dbapi(df, connect, "detenidos", "surrogate_id", batch_size=16)
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT COUNT(*) FROM detenidos").fetchone()[0] == 200
+
+    # re-running the same load must be a no-op (idempotent MERGE), and a
+    # changed row must update in place without duplicating the key
+    df2 = spark.createDataFrame(
+        [("k0", 2020, 999.0)], "surrogate_id: string, ano: int, total: double"
+    )
+    upsert_dbapi(df2, connect, "detenidos", "surrogate_id")
+    upsert_dbapi(df2, connect, "detenidos", "surrogate_id")
+    with sqlite3.connect(db) as con:
+        n, total = con.execute(
+            "SELECT COUNT(*), SUM(total = 999.0) FROM detenidos"
+        ).fetchone()
+        assert (n, total) == (200, 1)
+
+
+class _FlakyCursor:
+    """Fails any batch larger than ``fail_over`` rows ``fails`` times,
+    then succeeds — exercising retry and shrink independently."""
+
+    def __init__(self, fail_over: int = 10**9, fails_per_batch: int = 0):
+        self.rows: list[tuple] = []
+        self.fail_over = fail_over
+        self._fails_left: dict[int, int] = {}
+        self.fails_per_batch = fails_per_batch
+
+    def executemany(self, sql: str, batch: list[tuple]) -> None:
+        if len(batch) > self.fail_over:
+            raise RuntimeError("batch too large for flaky target")
+        key = id(batch)
+        left = self._fails_left.setdefault(key, self.fails_per_batch)
+        if left > 0:
+            self._fails_left[key] = left - 1
+            raise RuntimeError("transient")
+        self.rows.extend(batch)
+
+
+def test_write_batches_shrinks_and_retries():
+    rows = [(i,) for i in range(100)]
+    # transient failures: same batch succeeds on retry
+    cur = _FlakyCursor(fails_per_batch=2)
+    n = write_batches(cur, "sql", rows, batch_size=25, sleep=lambda _s: None)
+    assert n == 100 and cur.rows == rows
+    # oversized batches: halved until the target accepts them, order kept
+    cur = _FlakyCursor(fail_over=7)
+    n = write_batches(cur, "sql", rows, batch_size=50, sleep=lambda _s: None)
+    assert n == 100 and cur.rows == rows
+
+
+def test_write_batches_poison_row_isolated():
+    class PoisonCursor(_FlakyCursor):
+        def executemany(self, sql: str, batch: list[tuple]) -> None:
+            if any(r[0] == 13 for r in batch):
+                raise RuntimeError("constraint violation")
+            self.rows.extend(batch)
+
+    cur = PoisonCursor()
+    rows = [(i,) for i in range(20)]
+    with pytest.raises(RuntimeError, match=r"row rejected.*\(13,\)"):
+        write_batches(cur, "sql", rows, batch_size=20, sleep=lambda _s: None)
+    # every non-poison row before the failure was still delivered
+    assert (13,) not in cur.rows and (12,) in cur.rows

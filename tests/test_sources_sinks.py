@@ -193,13 +193,111 @@ def test_upsert_partitioned_pruning(spark, tmp_path):
     assert {r.surrogate_id for r in t.where("ano = 2024").collect()} == {"b", "c"}
     plan = t.where("ano = 2024")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(ano" in plan or "ano#" in plan
-    # second upsert keeps partitioning + merge semantics
+    # second upsert keeps partitioning + merge semantics (same-partition
+    # update + new-partition insert; the partition-scoped path is the
+    # default because partition columns are key-stable in the contract)
     df2 = spark.createDataFrame(
+        [("b", 2024, 20.0), ("d", 2025, 4.0)],
+        "surrogate_id: string, ano: int, v: double",
+    )
+    m = upsert_parquet(spark, df2, target, partition_by=["ano"])
+    assert m["rows_matched"] == 1 and m["rows_inserted"] == 1
+    assert m["partitions_rewritten"] == 2
+    rows = {r.surrogate_id: (r.ano, r.v) for r in read_table(spark, target).collect()}
+    assert rows == {
+        "a": (2023, 1.0),
+        "b": (2024, 20.0),
+        "c": (2024, 3.0),
+        "d": (2025, 4.0),
+    }
+
+
+def test_upsert_partition_scoped_merge_prunes_io(spark, tmp_path):
+    """The partition-scoped merge must neither READ nor REWRITE
+    untouched partitions: the 100 TB property (O(touched) weekly load,
+    VERDICT round-1 item 3)."""
+    import glob
+    import os
+
+    target = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [("a", 2023, 1.0), ("b", 2024, 2.0)],
+        "surrogate_id: string, ano: int, v: double",
+    )
+    upsert_parquet(spark, df, target, partition_by=["ano"])
+    snap = glob.glob(os.path.join(target, "snapshot_*"))[0]
+    untouched_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(snap, "ano=2023", "*.parquet"))
+    }
+    assert untouched_files
+
+    # the scan the merge performs: current filtered to touched tuples —
+    # partition pruning must keep untouched files out of the plan
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        _touched_partition_filter,
+    )
+
+    upd = spark.createDataFrame(
+        [("b", 2024, 20.0)], "surrogate_id: string, ano: int, v: double"
+    )
+    pruned = spark.read.parquet(snap).where(
+        _touched_partition_filter(upd, ["ano"])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024" in plan
+    # the pruned scan must enumerate strictly fewer files than the table
+    n_all = len(spark.read.parquet(snap).inputFiles())
+    n_scan = pruned.withColumn(
+        "f", __import__("pyspark.sql.functions", fromlist=["x"]).input_file_name()
+    ).select("f").distinct().count()
+    assert n_scan < n_all
+
+    m = upsert_parquet(spark, upd, target, partition_by=["ano"])
+    assert m["partitions_rewritten"] == 1
+    # untouched partition directory byte-identical (not rewritten)
+    for p, mtime in untouched_files.items():
+        assert os.path.getmtime(p) == mtime, p
+    rows = {r.surrogate_id: r.v for r in read_table(spark, target).collect()}
+    assert rows == {"a": 1.0, "b": 20.0}
+
+
+def test_upsert_partition_move_requires_full_merge(spark, tmp_path):
+    """A key changing partition value is only legal through the
+    full-merge fallback (partition columns are business-key components
+    in the contract, so the scoped path assumes they are stable)."""
+    target = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [("a", 2023, 1.0), ("b", 2024, 2.0)],
+        "surrogate_id: string, ano: int, v: double",
+    )
+    upsert_parquet(spark, df, target, partition_by=["ano"])
+    mover = spark.createDataFrame(
         [("b", 2025, 20.0)], "surrogate_id: string, ano: int, v: double"
     )
-    upsert_parquet(spark, df2, target, partition_by=["ano"])
+    upsert_parquet(
+        spark, mover, target, partition_by=["ano"], allow_partition_move=True
+    )
     rows = {r.surrogate_id: r.ano for r in read_table(spark, target).collect()}
-    assert rows == {"a": 2023, "b": 2025, "c": 2024}
+    assert rows == {"a": 2023, "b": 2025}
+
+
+def test_upsert_snapshot_gc_deferred(spark, tmp_path):
+    """The previous snapshot must survive the pointer swap (readers that
+    resolved the old pointer finish their scan); older generations are
+    GC'd on the next upsert."""
+    import glob
+    import os
+
+    target = str(tmp_path / "table")
+    df = spark.createDataFrame([("a", 1)], "surrogate_id: string, v: bigint")
+    upsert_parquet(spark, df, target)
+    upsert_parquet(spark, df, target)
+    snaps = sorted(glob.glob(os.path.join(target, "snapshot_*")))
+    assert len(snaps) == 2  # current + previous kept
+    upsert_parquet(spark, df, target)
+    snaps3 = sorted(glob.glob(os.path.join(target, "snapshot_*")))
+    assert len(snaps3) == 2  # oldest generation collected
 
 
 def test_pipeline_reader_failure_keeps_state(spark, tmp_path):
