@@ -243,8 +243,16 @@ class ContractPipeline:
         df = self.apply_rules(df)
         df = self.add_keys(df)
 
-        # key-null quarantine check runs pre-dedup (reference K3)
+        # Validation metrics EVALUATE on the pre-dedup frame (reference
+        # K3: quarantine/critical counts see every arriving row; dedup
+        # then keeps one representative per key). The aggregate's
+        # count(*) doubles as the pre-dedup row count, so dedup
+        # accounting costs no extra pass.
         pre_aggs = self._agg_exprs(df)
+        metrics = (
+            df.agg(*[v.alias(k) for k, v in pre_aggs.items()]).first().asDict()
+        )
+        before = metrics.pop("rows_out")
         dupes = (
             df.groupBy("business_key")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -253,7 +261,6 @@ class ContractPipeline:
         )
         report["duplicates_business_key"] = dupes
 
-        before = df.count()
         df = self.dedup(df)
         after = df.count()
         report["dedup_rows_dropped"] = before - after
@@ -261,9 +268,7 @@ class ContractPipeline:
         df, drift = self.pad_and_reorder(df)
         report.update(drift)
 
-        agg_row = df.agg(*[v.alias(k) for k, v in pre_aggs.items()]).first()
-        metrics = agg_row.asDict()
-        report["rows_out"] = metrics.pop("rows_out")
+        report["rows_out"] = after
         failures: list[str] = []
         warnings: list[str] = []
         for k, v in metrics.items():

@@ -21,16 +21,19 @@ DEFAULT_NA_TOKENS = ["", "NA", "N/A", "null", "None", "NaN", "nan", "NULL", "-"]
 
 
 def normalize_column_names(df: DataFrame) -> DataFrame:
-    """Canonical snake_case ASCII names; collision-safe via suffixing."""
-    seen: dict[str, int] = {}
+    """Canonical snake_case ASCII names; collision-safe via suffixing.
+    The suffix loops until the candidate is genuinely unused: a naive
+    one-shot suffix turns ['a','a','a_1'] into ['a','a_1','a_1']."""
+    counters: dict[str, int] = {}
+    assigned: set[str] = set()
     names = []
     for c in df.columns:
-        n = norm_colname_py(c) or "col"
-        if n in seen:
-            seen[n] += 1
-            n = f"{n}_{seen[n]}"
-        else:
-            seen[n] = 0
+        base = norm_colname_py(c) or "col"
+        n = base
+        while n in assigned:
+            counters[base] = counters.get(base, 0) + 1
+            n = f"{base}_{counters[base]}"
+        assigned.add(n)
         names.append(n)
     return df.toDF(*names)
 

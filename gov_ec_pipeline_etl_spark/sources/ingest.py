@@ -134,6 +134,29 @@ def pick_excel_sheets(
     return sheet_names[:1]
 
 
+def _backend_openpyxl(path: str):
+    """Primary backend: pandas' openpyxl engine (all cells as strings,
+    matching the reference's dtype=str reads, extract.py:276-286)."""
+    xl = pd.ExcelFile(path)
+    return list(xl.sheet_names), lambda s: xl.parse(s, dtype=str)
+
+
+def _backend_stdlib(path: str):
+    """Fallback backend: bundled stdlib OOXML reader (no third-party
+    dependency; shared-strings + inline strings, strings-only cells)."""
+    from gov_ec_pipeline_etl_spark.sources import xlsx_lite
+
+    return xlsx_lite.sheet_names(path), lambda s: xlsx_lite.read_sheet(path, s)
+
+
+def _pick_excel_backend(path: str):
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        return _backend_stdlib(path)
+    return _backend_openpyxl(path)
+
+
 def read_excel_resource(
     spark: SparkSession,
     path: str,
@@ -141,19 +164,12 @@ def read_excel_resource(
     scan_rows: int = 5,
 ) -> DataFrame:
     """Multi-sheet Excel → one DataFrame (sheets unioned by name with
-    null-fill, reference U1). Uses pandas+openpyxl when available, else
-    the bundled stdlib OOXML reader (sources/xlsx_lite)."""
-    try:
-        import openpyxl  # noqa: F401
-
-        xl = pd.ExcelFile(path)
-        names = list(xl.sheet_names)
-        parse = lambda s: xl.parse(s, dtype=str)  # noqa: E731
-    except ImportError:
-        from gov_ec_pipeline_etl_spark.sources import xlsx_lite
-
-        names = xlsx_lite.sheet_names(path)
-        parse = lambda s: xlsx_lite.read_sheet(path, s)  # noqa: E731
+    null-fill, reference U1). Uses pandas+openpyxl when available
+    (reference extract.py:276-286 parity), else the bundled stdlib
+    OOXML reader (sources/xlsx_lite). Both backends are named functions
+    so tests exercise each explicitly (the openpyxl one against a
+    pandas-level test double when the library itself is absent)."""
+    names, parse = _pick_excel_backend(path)
     sheets = pick_excel_sheets(names, blacklist)
     dfs = [
         _to_spark(spark, fix_header(parse(s), scan_rows)) for s in sheets

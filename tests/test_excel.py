@@ -107,3 +107,68 @@ def test_pipeline_with_xlsx_resource(spark, tmp_path):
     assert r.status == "ok"
     assert r.reports["x1"]["rows_in"] == 2
     assert r.upsert_metrics["x1"]["rows_inserted"] == 2
+
+
+def test_openpyxl_primary_branch_executes(spark, tmp_path, monkeypatch):
+    """The openpyxl-primary backend (reference extract.py:276-286) must
+    execute end-to-end, not just the stdlib fallback. openpyxl isn't in
+    this container, so a pandas-level double stands in for the library:
+    every ENGINE line of the primary branch (backend selection, sheet
+    enumeration, dtype=str parse wiring, union) runs for real."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from gov_ec_pipeline_etl_spark.sources import ingest, xlsx_lite
+
+    p = str(tmp_path / "f.xlsx")
+    _fixture(p)
+
+    class FakeExcelFile:
+        """pd.ExcelFile test double backed by the stdlib reader."""
+
+        def __init__(self, path):
+            self._path = path
+            self.sheet_names = xlsx_lite.sheet_names(path)
+
+        def parse(self, sheet, dtype=None):
+            assert dtype is str  # the branch must request string cells
+            return xlsx_lite.read_sheet(self._path, sheet)
+
+    monkeypatch.setitem(sys.modules, "openpyxl", types.ModuleType("openpyxl"))
+    monkeypatch.setattr(pd, "ExcelFile", FakeExcelFile)
+    # selection must now choose the primary backend
+    names, _parse = ingest._pick_excel_backend(p)
+    assert names == ["Contenido", "1", "2", "Notas"]
+
+    primary = ingest.read_excel_resource(spark, p)
+    monkeypatch.delitem(sys.modules, "openpyxl")
+    monkeypatch.setattr(
+        pd, "ExcelFile", pd.ExcelFile, raising=True
+    )  # restore for clarity; monkeypatch undoes at teardown anyway
+    rows = {r.codigo_iccs: r for r in primary.collect()}
+    assert set(rows) == {"0101", "0102", "0201"}
+    assert rows["0201"].sexo == "M" and rows["0201"].edad is None
+
+
+def test_backend_selection_falls_back_without_openpyxl(tmp_path, monkeypatch):
+    """With openpyxl unimportable the stdlib backend is chosen (this is
+    the branch every other Excel test exercises end-to-end)."""
+    import builtins
+
+    from gov_ec_pipeline_etl_spark.sources import ingest
+
+    p = str(tmp_path / "f.xlsx")
+    _fixture(p)
+    real_import = builtins.__import__
+
+    def no_openpyxl(name, *a, **k):
+        if name == "openpyxl":
+            raise ImportError("not installed")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_openpyxl)
+    names, parse = ingest._pick_excel_backend(p)
+    assert names == ["Contenido", "1", "2", "Notas"]
+    assert parse("1").iloc[0].tolist() == ["0101", "ROBO", "34"]

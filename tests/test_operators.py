@@ -32,6 +32,15 @@ def test_normalize_column_names(spark):
     assert out.columns == ["codigo_iccs", "edad", "codigo_iccs_1"]
 
 
+def test_normalize_column_names_suffix_chains(spark):
+    """A generated suffix must not collide with a later real column:
+    ['a','a','a_1','a'] naively becomes ['a','a_1','a_1','a_2']."""
+    df = spark.createDataFrame([(1, 2, 3, 4)], ["a", "a", "a_1", "a"])
+    out = normalize_column_names(df)
+    assert out.columns == ["a", "a_1", "a_1_1", "a_2"]
+    assert len(set(out.columns)) == 4
+
+
 def test_replace_na_tokens_and_drop_rows(spark):
     df = spark.createDataFrame(
         [(" NA ", "x"), ("", None), ("ok", " y ")], ["a", "b"]
