@@ -35,6 +35,7 @@ _QUERY_MODULES = [
     "gov_ec_pipeline_etl_spark.plans.similarity_queries",
     "gov_ec_pipeline_etl_spark.plans.streaming_queries",
     "gov_ec_pipeline_etl_spark.plans.multimodal_queries",
+    "gov_ec_pipeline_etl_spark.plans.training_queries",
 ]
 
 
