@@ -19,6 +19,12 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF: dict[str, str] = {
+    # local-mode executors live inside the driver JVM; the Spark default
+    # heap (1g) OOMs wide shuffles on a 128 GiB box. Applied only when
+    # this factory creates the first session in the process (driver
+    # memory is a JVM-start setting); external harnesses that pass their
+    # own session keep their own sizing.
+    "spark.driver.memory": "32g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
