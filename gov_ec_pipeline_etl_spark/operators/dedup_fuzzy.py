@@ -205,7 +205,16 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    cand = (
+    cand = _bucket_pairs(buckets)
+    return jaccard_verify(cand, sh.select("id", "h60"), jaccard_threshold, on="h60")
+
+
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Expand each bucket's sorted ``ids`` array into distinct ordered
+    pairs (id_a < id_b). In-bucket expansion instead of a self-join: one
+    pass, no second shuffle, and no recomputation of the bucket lineage
+    per join branch."""
+    return (
         buckets.select(
             F.explode(
                 F.filter(
@@ -227,7 +236,6 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return jaccard_verify(cand, sh.select("id", "h60"), jaccard_threshold, on="h60")
 
 
 # --- SimHash -------------------------------------------------------------
@@ -357,31 +365,32 @@ def ngram_jaccard_pairs(
     k: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 50,
+    portable: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingles, candidates from an inverted
     index: explode shingles, drop buckets larger than ``max_bucket``
     (stopword-like shingles generate O(bucket²) pairs — at scale they are
     noise, and dropping them is the documented recall trade), pair within
-    buckets, verify exactly."""
-    sh = shingle_rows(df, id_col, text_col, k).persist()
+    buckets, verify exactly.
+
+    Shingles are carried as their 60-bit hashes end-to-end (same
+    negligible-collision argument as the MinHash path): bigint keys make
+    the inverted-index groupBy and the wide verification joins shuffle a
+    fraction of the string bytes."""
+    sh = (
+        shingle_rows(df, id_col, text_col, k)
+        .select("id", hash64(F.col("s"), 0, portable).alias("h60"))
+        .persist()
+    )
     sh.count()  # cache barrier before fan-out (see minhash_lsh_pairs)
-    # inverted index: bucket sizes via window count over the shingle key —
-    # buckets over max_bucket are dropped (documented recall trade);
-    # pairing is a bucket self-join on the shingle.
-    counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
-    small = (
-        sh.join(counts.where(F.col("c").between(2, max_bucket)), "s")
-        .select("s", "id")
+    # inverted index in ONE pass: bucket = ids per shingle hash, capped,
+    # expanded in-bucket (no string self-join, no second shuffle)
+    buckets = (
+        sh.groupBy("h60")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids").between(2, max_bucket))
     )
-    pairs = (
-        small.alias("a")
-        .join(
-            small.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _bucket_pairs(buckets)
     # verification counts shared shingles over ALL rows (including those
     # in dropped buckets) — the cap limits candidate generation only.
-    return jaccard_verify(pairs, sh, jaccard_threshold)
+    return jaccard_verify(pairs, sh, jaccard_threshold, on="h60")
