@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import shingle_rows
 from gov_ec_pipeline_etl_spark.plans.dedup_queries import (
     DIRTY_SQL,
+    MUT_OFFSET,
     TOKS_SQL,
     _dirty_docs,
     shingles_sql,
@@ -239,5 +240,124 @@ def u03_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("shared") / F.least(F.col("sz_a"), F.col("sz_b")), 6
             ).alias("overlap"),
+        )
+    )
+
+
+@register(
+    "u04_quality_funnel",
+    oracle="""
+        WITH staged AS (
+          SELECT doc_id,
+                 (trim(text) <> '') AS s1,
+                 (n_chars BETWEEN 200 AND 20000) AS s2,
+                 (lang IN ('en', 'es', 'de', 'fr', 'zh')) AS s3,
+                 (len(regexp_split_to_array(trim(text), '\\s+')) >= 20) AS s4
+          FROM documents
+        ),
+        depth AS (
+          SELECT CASE WHEN NOT s1 THEN 0
+                      WHEN NOT s2 THEN 1
+                      WHEN NOT s3 THEN 2
+                      WHEN NOT s4 THEN 3
+                      ELSE 4 END AS funnel_depth
+          FROM staged
+        )
+        SELECT funnel_depth, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM depth GROUP BY funnel_depth
+    """,
+    doc="Quality-filter FUNNEL diagnostics: four cumulative curation "
+    "gates (non-empty, length band, supported language, minimum token "
+    "count); each document reports the deepest consecutive gate it "
+    "passed. One scan, one tiny aggregate — the per-stage survival "
+    "report a curation pipeline watches, at any corpus size.",
+    tags=("text", "llm-pipeline"),
+)
+def u04_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.textstats import token_count
+
+    d = T(spark, sf_dir, "documents")
+    s1 = F.trim("text") != ""
+    s2 = F.col("n_chars").between(200, 20000)
+    s3 = F.col("lang").isin("en", "es", "de", "fr", "zh")
+    s4 = token_count("text") >= 20
+    depth = (
+        F.when(~s1, 0)
+        .when(~s2, 1)
+        .when(~s3, 2)
+        .when(~s4, 3)
+        .otherwise(4)
+        .alias("funnel_depth")
+    )
+    return (
+        d.select(depth)
+        .groupBy("funnel_depth")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "u05_dedup_impact_by_source",
+    oracle=f"""
+        WITH corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + {MUT_OFFSET} AS doc_id, source, text FROM documents
+        ),
+        fp AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+          FROM corpus
+        ),
+        keep AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS tokens_removed
+        FROM fp JOIN keep USING (f)
+        GROUP BY source
+    """,
+    doc="What exact dedup REMOVES, by source (the before/after token "
+    "accounting a data-mixing decision needs): duplicate groups keep "
+    "their minimum id; every other copy counts as removed with its "
+    "token mass. Corpus = documents plus planted exact copies "
+    "(driver data is clean). fingerprint groupBy + one broadcastable "
+    "keep-table join + per-source aggregate.",
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def u05_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.textstats import token_count
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + MUT_OFFSET).alias("doc_id"), "source", "text"
+        )
+    )
+    fp = corpus.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("f"),
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    removed = F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)
+    return (
+        fp.join(keep, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(removed).cast("bigint").alias("n_removed"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum(F.when(F.col("doc_id") != F.col("keep_id"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
         )
     )
