@@ -190,3 +190,73 @@ def _gc_snapshots(target_dir: str, keep: set[str]) -> None:
     for name in os.listdir(target_dir):
         if name.startswith("snapshot_") and name not in keep:
             shutil.rmtree(os.path.join(target_dir, name), ignore_errors=True)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    target_dir: str,
+    partition_by: list[str] | None = None,
+    files_per_partition: int = 1,
+) -> dict[str, int]:
+    """Compact the current snapshot's small files (maintenance job).
+
+    Repeated partition-scoped merges append one file set per load to
+    each touched partition; at scale the small-file count, not the
+    bytes, becomes the scan bottleneck. Rewrites the CURRENT snapshot
+    into a new one with ``files_per_partition`` files per partition
+    (repartitioned on the partition columns) and swaps the pointer —
+    the same deferred-GC protocol as the merge itself. Run it on the
+    cadence small files accumulate (e.g. weekly after N daily loads).
+    """
+    snap = _current_snapshot(target_dir)
+    if snap is None:
+        return {"files_before": 0, "files_after": 0}
+    current = spark.read.parquet(snap)
+    files_before = len(current.inputFiles())
+    if partition_by:
+        compacted = current.repartition(files_per_partition, *partition_by)
+    else:
+        compacted = current.coalesce(files_per_partition)
+    snap_name = f"snapshot_{uuid.uuid4().hex[:12]}"
+    writer = compacted.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(target_dir, snap_name))
+    _swap_pointer(target_dir, snap_name)
+    _gc_snapshots(target_dir, keep={snap_name, os.path.basename(snap)})
+    files_after = len(
+        spark.read.parquet(os.path.join(target_dir, snap_name)).inputFiles()
+    )
+    return {"files_before": files_before, "files_after": files_after}
+
+
+def streaming_upsert_sink(
+    stream_df,
+    target_dir: str,
+    key: str = "surrogate_id",
+    partition_by: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming CDC into the keyed table: ``foreachBatch`` applies each
+    micro-batch through the same idempotent MERGE as batch loads, so a
+    replayed batch (at-least-once delivery after failure) converges to
+    the same table state — the streaming face of reference W2.
+
+    Returns the started StreamingQuery (caller awaits termination)."""
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_parquet(
+            batch_df.sparkSession,
+            batch_df,
+            target_dir,
+            key=key,
+            partition_by=partition_by,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_merge_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

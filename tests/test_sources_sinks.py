@@ -321,3 +321,81 @@ def test_pipeline_reader_failure_keeps_state(spark, tmp_path):
     runs = AuditLedger(os.path.join(work, "audit")).runs()
     assert len(runs) == 1
     assert list(runs.values())[0]["status"] == "error"
+
+
+def test_compact_partitions(spark, tmp_path):
+    """Repeated partition-scoped merges accumulate one file set per
+    load; compaction rewrites the snapshot to N files per partition and
+    preserves contents."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import compact_partitions
+
+    target = str(tmp_path / "ptable")
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(f"k{i}", 2024, float(i))],
+            "surrogate_id: string, ano: int, v: double",
+        )
+        upsert_parquet(spark, df, target, partition_by=["ano"])
+    before = read_table(spark, target)
+    n_files_before = len(before.inputFiles())
+    assert n_files_before > 1
+    rows_before = {r.surrogate_id: r.v for r in before.collect()}
+
+    m = compact_partitions(spark, target, partition_by=["ano"])
+    assert m["files_before"] == n_files_before
+    assert m["files_after"] < n_files_before
+    after = read_table(spark, target)
+    assert {r.surrogate_id: r.v for r in after.collect()} == rows_before
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """foreachBatch MERGE: a replayed stream (same checkpoint removed →
+    all files reprocessed) converges to the same table state because the
+    per-batch upsert is idempotent — streaming CDC semantics of W2."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.sinks.upsert import streaming_upsert_sink
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    target = str(tmp_path / "table")
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "surrogate_id: string, v: double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+
+    stream = (
+        spark.readStream.schema("surrogate_id string, v double")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = streaming_upsert_sink(
+        stream,
+        target,
+        key="surrogate_id",
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    assert {r.surrogate_id: r.v for r in read_table(spark, target).collect()} == {
+        "a": 1.0,
+        "b": 2.0,
+    }
+
+    # second delivery: an update for b and a new key c, plus a REPLAY of
+    # batch1 through a fresh checkpoint (at-least-once) — state converges
+    spark.createDataFrame(
+        [("b", 20.0), ("c", 3.0)], "surrogate_id: string, v: double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch2"))
+    stream2 = (
+        spark.readStream.schema("surrogate_id string, v double")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q2 = streaming_upsert_sink(
+        stream2,
+        target,
+        key="surrogate_id",
+        checkpoint_dir=str(tmp_path / "ckpt2"),  # fresh: replays batch1 too
+    )
+    q2.awaitTermination(120)
+    rows = {r.surrogate_id: r.v for r in read_table(spark, target).collect()}
+    assert rows["c"] == 3.0 and set(rows) == {"a", "b", "c"}
