@@ -183,11 +183,26 @@ def q21b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(approx.cast("double") - exact) / exact <= F.lit(0.02)
         )
 
-    agg = li.groupBy("l_returnflag").agg(
+    # Exact distincts computed as separate dedupe-then-count aggregates
+    # and joined on the (3-row) group key: mixing count_distinct with
+    # approx_count_distinct in ONE aggregate makes Spark Expand every
+    # row per distinct column and push the wide HLL buffers through the
+    # multi-phase plan (measured 27 s warm at sf0.1 vs ~1 s split).
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+    def exact(col: str, out: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    agg = approx.join(exact("l_orderkey", "exact_orders"), "l_returnflag").join(
+        exact("l_partkey", "exact_parts"), "l_returnflag"
     )
     return agg.select(
         "l_returnflag",
