@@ -361,3 +361,246 @@ def u05_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_removed"),
         )
     )
+
+
+def _ivf_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@register(
+    "u06_ivf_topk",
+    oracle=f"""
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id < 8),
+        assigned AS (
+          SELECT x.vec_id, arg_max(c.cent_id, {_ivf_cos('x.v', 'c.cv')}) AS cent_id
+          FROM vecs x, cents c
+          GROUP BY x.vec_id
+        ),
+        queries AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, cent_id FROM (
+            SELECT q.query_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {_ivf_cos('q.qv', 'c.cv')} DESC, c.cent_id
+                   ) AS pr
+            FROM queries q, cents c
+          ) WHERE pr <= 2
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+          WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, rnk FROM (
+          SELECT c.query_id, c.neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {_ivf_cos('q.qv', 'n.v')} DESC, c.neighbor_id
+                 ) AS rnk
+          FROM cand c
+          JOIN queries q ON q.query_id = c.query_id
+          JOIN vecs n ON n.vec_id = c.neighbor_id
+        ) WHERE rnk <= 5
+    """,
+    doc="IVF SEARCH end-to-end (the ANN scale path s04/s05 are the "
+    "building blocks of): corpus assigned once to K=8 centroids, each "
+    "query probes its nprobe=2 nearest centroids and reranks only those "
+    "blocks — per-query work is O(corpus/K * nprobe), not O(corpus). "
+    "Centroid assignment, probing, and rerank are deterministic "
+    "arithmetic, so unlike hyperplane-LSH ANN this approximate index is "
+    "FULLY oracle-verified (the oracle recomputes the same index).",
+    tags=("similarity", "ivf", "ann", "llm-pipeline"),
+)
+def u06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.operators.similarity import (
+        as_double,
+        cosine,
+        vec_dim,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    dim = vec_dim(emb, "embedding")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = vecs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    # corpus → nearest centroid (one broadcast join + argmax; persisted
+    # at cluster scale, recomputed here — the index build of IVF)
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "cent_id", cosine("v", "cv", dim).alias("cos")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cent_id", F.struct(F.col("cos"), -F.col("cent_id"))).alias(
+                "cent_id"
+            ),
+            F.first("v").alias("v"),
+        )
+    )
+    queries = vecs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", cosine("qv", "cv", dim).alias("cos"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= 2)
+        .select("query_id", "qv", "cent_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "cent_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("qv", "v", dim).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+@register(
+    "u07_quantized_cosine_agreement",
+    oracle="""
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        scaled AS (
+          SELECT vec_id, v,
+                 127.0 / list_max(list_transform(v, x -> abs(x))) AS s
+          FROM vecs
+        ),
+        quant AS (
+          SELECT vec_id, v,
+                 list_transform(v, x -> floor(x * s)) AS qv
+          FROM scaled
+        ),
+        queries AS (SELECT * FROM quant WHERE vec_id < 10),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                   AS cos_exact,
+                 list_dot_product(q.qv, c.qv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.qv, c.qv)))
+                   AS cos_quant
+          FROM queries q, quant c
+          WHERE q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_exact DESC, neighbor_id) AS re,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_quant DESC, neighbor_id) AS rq
+          FROM pairs
+        )
+        SELECT e.query_id,
+               e.neighbor_id AS top1_exact,
+               qn.neighbor_id AS top1_quant,
+               (e.neighbor_id = qn.neighbor_id) AS agree
+        FROM (SELECT query_id, neighbor_id FROM ranked WHERE re = 1) e
+        JOIN (SELECT query_id, neighbor_id FROM ranked WHERE rq = 1) qn
+          USING (query_id)
+    """,
+    doc="int8 scalar quantization for embedding search (the 4x-memory "
+    "scale lever): per-vector max-abs scaling to [-127,127] via floor "
+    "(the portable rounding — float->int CAST truncates in Spark but "
+    "rounds in DuckDB), then top-1 neighbor under quantized vs exact "
+    "cosine with an agreement flag. Deterministic arithmetic on both "
+    "engines, so the quantization error behavior itself is "
+    "oracle-verified, not just sampled.",
+    tags=("similarity", "quantization", "llm-pipeline"),
+)
+def u07_quantized_cosine_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.operators.similarity import (
+        as_double,
+        vec_dim,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    dim = vec_dim(emb, "embedding")
+    maxabs = F.expr(
+        "greatest(" + ", ".join(f"abs(v[{i}])" for i in range(dim)) + ")"
+    )
+    vecs = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("s", F.lit(127.0) / maxabs)
+
+    def qdot(a: str, sa: str, b: str, sb: str) -> F.Column:
+        return F.expr(
+            " + ".join(
+                f"floor({a}[{i}]*{sa})*floor({b}[{i}]*{sb})" for i in range(dim)
+            )
+        )
+
+    def ddot(a: str, b: str) -> F.Column:
+        return F.expr(" + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim)))
+
+    q = vecs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("s").alias("qs"),
+    )
+    pairs = vecs.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            ddot("qv", "v")
+            / (F.sqrt(ddot("qv", "qv")) * F.sqrt(ddot("v", "v")))
+        ).alias("cos_exact"),
+        (
+            qdot("qv", "qs", "v", "s")
+            / (
+                F.sqrt(qdot("qv", "qs", "qv", "qs"))
+                * F.sqrt(qdot("v", "s", "v", "s"))
+            )
+        ).alias("cos_quant"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cos_exact").desc(), F.col("neighbor_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_quant").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(we).alias("re"),
+        F.row_number().over(wq).alias("rq"),
+    )
+    e = ranked.where("re = 1").select("query_id", F.col("neighbor_id").alias("top1_exact"))
+    qn = ranked.where("rq = 1").select("query_id", F.col("neighbor_id").alias("top1_quant"))
+    return e.join(qn, "query_id").select(
+        "query_id",
+        "top1_exact",
+        "top1_quant",
+        (F.col("top1_exact") == F.col("top1_quant")).alias("agree"),
+    )
