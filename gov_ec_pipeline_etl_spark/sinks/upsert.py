@@ -107,6 +107,11 @@ def upsert_parquet(
     current = read_table(spark, target_dir)
     n_updates = updates.count()
 
+    if n_updates == 0 and current is not None:
+        # nothing to merge: leave the table untouched (an empty batch
+        # must not rewrite snapshots or derive an empty partition filter)
+        return {"rows_upserted": 0, "rows_matched": 0, "rows_inserted": 0}
+
     if current is not None and partition_by and not allow_partition_move:
         return _merge_touched_partitions(
             spark, updates, target_dir, key, partition_by, n_updates

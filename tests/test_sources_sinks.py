@@ -399,3 +399,27 @@ def test_streaming_upsert_sink(spark, tmp_path):
     q2.awaitTermination(120)
     rows = {r.surrogate_id: r.v for r in read_table(spark, target).collect()}
     assert rows["c"] == 3.0 and set(rows) == {"a", "b", "c"}
+
+
+def test_upsert_empty_batch_is_noop(spark, tmp_path):
+    """An empty update batch must not rewrite snapshots (and must not
+    crash the partition-scoped path deriving its touched-tuple filter)."""
+    import glob
+    import os
+
+    target = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [("a", 2023, 1.0)], "surrogate_id: string, ano: int, v: double"
+    )
+    upsert_parquet(spark, df, target, partition_by=["ano"])
+    files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(target, "snapshot_*", "**", "*.parquet"),
+                           recursive=True)
+    }
+    empty = df.where("1 = 0")
+    m = upsert_parquet(spark, empty, target, partition_by=["ano"])
+    assert m == {"rows_upserted": 0, "rows_matched": 0, "rows_inserted": 0}
+    for p, mtime in files.items():
+        assert os.path.getmtime(p) == mtime
+    assert read_table(spark, target).count() == 1
