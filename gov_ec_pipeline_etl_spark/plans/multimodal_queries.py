@@ -9,13 +9,10 @@ grouped-custom-operator pattern checked against a window-SQL oracle.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StructField,
     StructType,
