@@ -67,11 +67,12 @@ def read_table(spark: SparkSession, target_dir: str) -> DataFrame | None:
 
 def _touched_partition_filter(
     updates: DataFrame, partition_by: list[str]
-) -> F.Column:
-    """OR-of-ANDs predicate for the distinct partition tuples present in
-    the updates. Partition tuples are driver-scale metadata (bounded by
-    the partition count, not the data), like any catalog pruning list.
-    eqNullSafe so null partition values prune correctly."""
+) -> tuple[F.Column, int]:
+    """(predicate, n_touched): OR-of-ANDs over the distinct partition
+    tuples present in the updates. Partition tuples are driver-scale
+    metadata (bounded by the partition count, not the data), like any
+    catalog pruning list. eqNullSafe so null partition values prune
+    correctly."""
     touched = updates.select(*partition_by).distinct().collect()
     clauses = [
         functools.reduce(
@@ -80,7 +81,7 @@ def _touched_partition_filter(
         )
         for row in touched
     ]
-    return functools.reduce(operator.or_, clauses)
+    return functools.reduce(operator.or_, clauses), len(touched)
 
 
 def upsert_parquet(
@@ -103,9 +104,29 @@ def upsert_parquet(
     served, and scopes the merge itself to the touched partitions.
     """
     os.makedirs(target_dir, exist_ok=True)
-    updates = updates.dropDuplicates([key])
+    # The update batch is read several times (count, touched-partition
+    # derivation, match count, the merge itself); persist it so an
+    # expensive upstream lineage — the whole contract pipeline feeds
+    # straight in here — is computed once, not per pass.
+    updates = updates.dropDuplicates([key]).persist()
+    try:
+        return _upsert_parquet(
+            spark, updates, target_dir, key, partition_by, allow_partition_move
+        )
+    finally:
+        updates.unpersist()
+
+
+def _upsert_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_dir: str,
+    key: str,
+    partition_by: list[str] | None,
+    allow_partition_move: bool,
+) -> dict[str, int]:
     current = read_table(spark, target_dir)
-    n_updates = updates.count()
+    n_updates = updates.count()  # also materializes the persisted batch
 
     if n_updates == 0 and current is not None:
         # nothing to merge: leave the table untouched (an empty batch
@@ -158,7 +179,7 @@ def _merge_touched_partitions(
     tuples predicate) and never rewritten. O(touched) I/O per load."""
     snap = _current_snapshot(target_dir)
     current = spark.read.parquet(snap)
-    pred = _touched_partition_filter(updates, partition_by)
+    pred, n_touched = _touched_partition_filter(updates, partition_by)
     cur_touched = current.where(pred)
     n_matched = cur_touched.join(updates.select(key), key, "left_semi").count()
     merged = cur_touched.join(
@@ -172,7 +193,6 @@ def _merge_touched_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    n_touched = updates.select(*partition_by).distinct().count()
     return {
         "rows_upserted": n_updates,
         "rows_matched": n_matched,

@@ -241,9 +241,9 @@ def test_upsert_partition_scoped_merge_prunes_io(spark, tmp_path):
     upd = spark.createDataFrame(
         [("b", 2024, 20.0)], "surrogate_id: string, ano: int, v: double"
     )
-    pruned = spark.read.parquet(snap).where(
-        _touched_partition_filter(upd, ["ano"])
-    )
+    pred, n_touched = _touched_partition_filter(upd, ["ano"])
+    assert n_touched == 1
+    pruned = spark.read.parquet(snap).where(pred)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024" in plan
     # the pruned scan must enumerate strictly fewer files than the table
