@@ -604,3 +604,77 @@ def u07_quantized_cosine_agreement(spark: SparkSession, sf_dir: str) -> DataFram
         "top1_quant",
         (F.col("top1_exact") == F.col("top1_quant")).alias("agree"),
     )
+
+
+_FEATURE_SCHEMA = (
+    "media_id bigint, n_bytes bigint, mean_byte_ppm bigint,"
+    " n_distinct_bytes bigint"
+)
+
+
+@register(
+    "u08_media_feature_extract",
+    oracle="""
+        WITH chars AS (
+          SELECT doc_id AS media_id,
+                 octet_length(encode(text)) AS n_bytes,
+                 list_transform(range(1, length(text) + 1),
+                                i -> ascii(substr(text, i, 1))) AS codes
+          FROM documents
+        )
+        SELECT media_id,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST((list_sum(codes) * 1000000) // n_bytes AS BIGINT)
+                 AS mean_byte_ppm,
+               CAST(len(list_distinct(codes)) AS BIGINT) AS n_distinct_bytes
+        FROM chars
+    """,
+    doc="Multimodal FEATURE EXTRACTION plumbing (the stage between m01 "
+    "decode and model input): Arrow-batched mapInPandas turns each "
+    "binary payload into a numeric feature row via numpy (vectorized "
+    "per batch, constant memory, no shuffle). The payloads are the "
+    "documents' (all-ASCII) text bytes, so the byte features equal "
+    "character arithmetic the oracle recomputes in SQL — the whole "
+    "binary->Arrow->numpy->row path is value-checked. Swapping the "
+    "byte kernel for an image/audio featurizer is a one-function "
+    "change, exactly like the m01 codec stub.",
+    tags=("multimodal", "pandas-udf", "llm-pipeline"),
+)
+def u08_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            feats = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # integer-only mean (parts-per-million, floor division):
+                # Python round() is half-even while SQL ROUND is
+                # half-away, so any float rounding here would flake
+                # against the oracle on exact ties
+                feats.append(
+                    (
+                        int(mid),
+                        int(b.size),
+                        int(b.sum()) * 1_000_000 // int(b.size),
+                        int(np.unique(b).size),
+                    )
+                )
+            yield pd.DataFrame(
+                feats,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "mean_byte_ppm",
+                    "n_distinct_bytes",
+                ],
+            )
+
+    return media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
