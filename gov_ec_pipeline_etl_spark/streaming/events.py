@@ -146,3 +146,81 @@ def session_window_agg(
             "sum_value",
         )
     )
+
+
+def sliding_window_agg(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """OVERLAPPING (sliding) windows per event_type — each event lands in
+    window/slide windows (4 here), the streaming moving-average shape.
+    State stays bounded by (windows in watermark horizon × types)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def run_sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation as a real stream run (same harness as
+    the tumbling variant)."""
+    staging = os.path.join(
+        tempfile.gettempdir(), f"events_slide_{uuid.uuid4().hex[:8]}"
+    )
+    events = T(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(events.schema).parquet(staging)
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        sliding_window_agg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_stream_static_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (re-read per micro-batch, broadcast by size) —
+    the streaming face of the category-map lookup (reference J2/A1).
+    Unmatched users keep null segment (left join), counted per segment."""
+    staging = os.path.join(
+        tempfile.gettempdir(), f"events_enrich_{uuid.uuid4().hex[:8]}"
+    )
+    events = T(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(events.schema).parquet(staging)
+
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

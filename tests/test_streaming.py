@@ -46,3 +46,62 @@ def test_streaming_dedup_halves_planted_duplicates(spark):
     out = run_streaming_dedup(spark, SF_SMOKE)
     assert out.count() == expected
     assert out.select("event_id").distinct().count() == expected
+
+
+def test_sliding_window_stream_matches_batch(spark):
+    """Sliding windows over a real stream run must equal the same
+    windowed aggregation computed in batch (each event lands in
+    window/slide = 4 overlapping windows)."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.plans.util import T
+    from gov_ec_pipeline_etl_spark.streaming.events import (
+        run_sliding_window_stream,
+        sliding_window_agg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, r.avg_value)
+        for r in run_sliding_window_stream(spark, sf).collect()
+    }
+    batch = sliding_window_agg(T(spark, sf, "events"))
+    want = {
+        (r.window_start_us, r.event_type): (r.n_events, r.avg_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+    # overlap sanity: sliding windows hold ~4x the tumbling event mass
+    n_events = T(spark, sf, "events").count()
+    assert abs(sum(v[0] for v in got.values()) - 4 * n_events) < 4 * 4
+
+
+def test_stream_static_enrichment(spark):
+    """Stream-static broadcast join: per-segment counts equal the batch
+    left-join, and events without a matching customer keep null."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.plans.util import T
+    from gov_ec_pipeline_etl_spark.streaming.events import (
+        run_stream_static_enrichment,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.segment: r.n_events
+        for r in run_stream_static_enrichment(spark, sf).collect()
+    }
+    dim = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    want = {
+        r.segment: r.n_events
+        for r in T(spark, sf, "events")
+        .join(dim, "user_id", "left")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
+    assert sum(got.values()) == T(spark, sf, "events").count()
