@@ -423,3 +423,31 @@ def test_upsert_empty_batch_is_noop(spark, tmp_path):
     for p, mtime in files.items():
         assert os.path.getmtime(p) == mtime
     assert read_table(spark, target).count() == 1
+
+
+def test_upsert_crash_before_pointer_swap_preserves_table(spark, tmp_path):
+    """Crash-safety of the snapshot protocol: a writer that dies after
+    writing the new snapshot directory but BEFORE the pointer swap
+    leaves readers on the previous consistent table; the next
+    successful upsert garbage-collects the orphan."""
+    import glob
+    import os
+
+    target = str(tmp_path / "table")
+    df = spark.createDataFrame([("a", 1)], "surrogate_id: string, v: bigint")
+    upsert_parquet(spark, df, target)
+
+    # simulate the dying writer: full snapshot directory, no swap
+    orphan = os.path.join(target, "snapshot_deadbeef0000")
+    spark.createDataFrame(
+        [("zz", 99)], "surrogate_id: string, v: bigint"
+    ).write.parquet(orphan)
+    assert {r.surrogate_id for r in read_table(spark, target).collect()} == {"a"}
+
+    df2 = spark.createDataFrame([("b", 2)], "surrogate_id: string, v: bigint")
+    upsert_parquet(spark, df2, target)
+    assert {r.surrogate_id for r in read_table(spark, target).collect()} == {
+        "a",
+        "b",
+    }
+    assert not os.path.exists(orphan)  # orphan collected by the next GC
