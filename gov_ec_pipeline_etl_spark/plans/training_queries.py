@@ -678,3 +678,96 @@ def u08_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+_BAR_US = 6 * 3600 * 1_000_000  # 6-hour bars
+
+
+@register(
+    "u09_resample_ffill",
+    oracle=f"""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS us, value FROM events
+        ),
+        bounds AS (
+          SELECT (MIN(us) // {_BAR_US}) * {_BAR_US} AS lo,
+                 (MAX(us) // {_BAR_US}) * {_BAR_US} AS hi
+          FROM ev
+        ),
+        grid AS (
+          SELECT t.event_type, gs.bar_start_us
+          FROM (SELECT DISTINCT event_type FROM ev) t
+          CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, {_BAR_US})) AS bar_start_us
+            FROM bounds
+          ) gs
+        ),
+        bars AS (
+          SELECT event_type, (us // {_BAR_US}) * {_BAR_US} AS bar_start_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 ROUND(AVG(value), 6) AS avg_value
+          FROM ev GROUP BY 1, 2
+        )
+        SELECT g.event_type,
+               g.bar_start_us,
+               COALESCE(b.n_events, 0) AS n_events,
+               last_value(b.avg_value IGNORE NULLS) OVER (
+                 PARTITION BY g.event_type ORDER BY g.bar_start_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_ffill
+        FROM grid g LEFT JOIN bars b USING (event_type, bar_start_us)
+    """,
+    doc="Time-series RESAMPLE with gap fill: events bucketed to 6-hour "
+    "bars per type over the full span, empty bars materialized from a "
+    "generated grid (sequence stays inside the plan — no driver "
+    "collect) and forward-filled with the last observed bar average "
+    "(null until first observation). The downsample-for-training shape "
+    "(sensor/metrics corpora): one aggregate, one grid join, one "
+    "ordered window per type.",
+    tags=("timeseries", "window", "llm-pipeline"),
+)
+def u09_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    bar = (F.col("us") / F.lit(_BAR_US)).cast("bigint") * F.lit(_BAR_US)
+    bars = (
+        ev.groupBy("event_type", bar.alias("bar_start_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    bounds = ev.agg(
+        ((F.min("us") / _BAR_US).cast("bigint") * _BAR_US).alias("lo"),
+        ((F.max("us") / _BAR_US).cast("bigint") * _BAR_US).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(bounds).select(
+                F.explode(
+                    F.sequence("lo", "hi", F.lit(_BAR_US))
+                ).alias("bar_start_us")
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bar_start_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(bars, ["event_type", "bar_start_us"], "left")
+        .select(
+            "event_type",
+            "bar_start_us",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_ffill"),
+        )
+    )
