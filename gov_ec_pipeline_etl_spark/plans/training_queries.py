@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64_sql
 from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import shingle_rows
 from gov_ec_pipeline_etl_spark.plans.dedup_queries import (
     DIRTY_SQL,
@@ -770,4 +771,67 @@ def u09_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
             F.last("avg_value", ignorenulls=True).over(w).alias("avg_ffill"),
         )
+    )
+
+
+# Mixing weights: probability of keeping each document, by source group
+# (sources hash-partitioned into 4 groups to keep the weight map small
+# and the query self-contained; a real pipeline broadcasts a weight
+# table). Weights in parts-per-thousand for exact integer comparison.
+_MIX_WEIGHTS_PPT = {0: 1000, 1: 500, 2: 250, 3: 100}
+
+
+@register(
+    "u10_weighted_source_mix",
+    oracle=f"""
+        WITH grouped AS (
+          SELECT doc_id, source,
+                 {portable_hash64_sql("source", 7)} % 4 AS grp,
+                 {portable_hash64_sql("CAST(doc_id AS VARCHAR)", 11)} % 1000
+                   AS ticket
+          FROM documents
+        ),
+        weighted AS (
+          SELECT doc_id, source, grp, ticket,
+                 CASE grp WHEN 0 THEN 1000 WHEN 1 THEN 500
+                          WHEN 2 THEN 250 ELSE 100 END AS w_ppt
+          FROM grouped
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN ticket < w_ppt THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sampled,
+               MIN(w_ppt) AS w_ppt
+        FROM weighted
+        GROUP BY source
+    """,
+    doc="Deterministic WEIGHTED dataset mixing (the pretraining "
+    "mix-ratio op): each document draws a hash ticket in [0,1000) and "
+    "survives iff ticket < its source group's weight — a pure function "
+    "of (doc_id, source), so the same mix reproduces on any engine, "
+    "any partitioning, any run (t11's hash sample generalized to "
+    "per-group rates). One scan, one aggregate; the weight map "
+    "broadcasts at scale.",
+    tags=("sampling", "llm-pipeline"),
+)
+def u10_weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    grp = portable_hash64(F.col("source"), 7) % 4
+    ticket = portable_hash64(F.col("doc_id").cast("string"), 11) % 1000
+    w = F.create_map(
+        *[F.lit(x) for kv in _MIX_WEIGHTS_PPT.items() for x in kv]
+    )[grp]
+    weighted = docs.select(
+        "source",
+        ticket.alias("ticket"),
+        w.alias("w_ppt"),
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("ticket") < F.col("w_ppt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.min("w_ppt").alias("w_ppt"),
     )
