@@ -835,3 +835,49 @@ def u10_weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_sampled"),
         F.min("w_ppt").alias("w_ppt"),
     )
+
+
+@register(
+    "u11_shingle_novelty",
+    oracle=f"""
+        WITH toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest({shingles_sql(5)}) AS s FROM toksed
+        ),
+        freq AS (
+          SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+        )
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM sh JOIN freq f USING (s)
+        GROUP BY sh.doc_id
+    """,
+    doc="Shingle NOVELTY score: the fraction of a document's distinct "
+    "5-word shingles that occur nowhere else in the corpus — the "
+    "self-information proxy curation uses to separate boilerplate-heavy "
+    "documents from original content. One document-frequency aggregate "
+    "+ one join back; integer ppm output (exact on any engine). At "
+    "100 TB the df table is the same inverted index the n-gram dedup "
+    "path already builds — computed once, served twice.",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def u11_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_rows(docs, "doc_id", "text", 5)
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (
+        sh.join(freq, "s")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.floor(
+                F.sum(novel) * 1_000_000 / F.count(F.lit(1))
+            ).cast("bigint").alias("novelty_ppm"),
+        )
+    )
