@@ -129,43 +129,39 @@ def minhash_coeffs(num_hashes: int, seed: int = 123) -> list[tuple[int, int]]:
     return [(int(x), int(y)) for x, y in zip(a, b)]
 
 
-def minhash_lsh_pairs(
+def minhash_sketch(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
-    jaccard_threshold: float = 0.5,
     portable: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs (id_a < id_b, jaccard ≥ threshold).
+    """(id, h60) shingle sketch, persisted AND materialized.
 
-    Plan: per-doc shingle+signature map stage → explode bands →
-    self-join on (band_idx, band_key) → distinct candidate pairs →
-    exact-Jaccard verify on the shingle sets. The only shuffles are the
-    band join and the final distinct.
-    """
-    rows = num_hashes // bands
-    # Hash each distinct shingle ONCE to its 60-bit identity, then drop
-    # the strings: the persisted sketch is (id, h60) — smaller cache,
-    # bigint join keys downstream. Feeds the signature aggregation and
-    # the verification joins (cluster-scale equivalent: write the sketch
-    # table out once as Delta/parquet and reuse it).
+    Hash each distinct shingle ONCE to its 60-bit identity, then drop
+    the strings: the persisted sketch is smaller and joins on bigints.
+    Materialized before fan-out because a lazily-persisted table
+    consumed by concurrent stages of one job gets racily recomputed per
+    branch (measured ~3 s extra at sf0.1) — one count() is the cache
+    barrier (cluster equivalent: write the sketch table out once)."""
     sh = (
         shingle_rows(df, id_col, text_col, k)
         .select("id", hash64(F.col("s"), 0, portable).alias("h60"))
         .persist()
     )
-    # Materialize the sketch BEFORE fan-out: the signature aggregation and
-    # the three verification branches all read it, and a lazily-persisted
-    # table consumed by concurrent stages of one job gets racily
-    # recomputed per branch (measured ~3 s extra at sf0.1). One count()
-    # is the cache barrier (cluster equivalent: write the sketch table
-    # out once and scan it).
     sh.count()
-    # Signature via groupBy min-aggregates: the per-row affine hashes run
-    # inside whole-stage codegen.
+    return sh
+
+
+def minhash_band_keys(
+    sh: DataFrame, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """(id, band_idx, band_key) from a (id, h60) sketch: signature via
+    groupBy min-aggregates (the per-row affine hashes run inside
+    whole-stage codegen), then banded keys. Reusable across batches —
+    the incremental-dedup path banding a new batch against a stored
+    corpus sketch calls this on each side."""
+    rows = num_hashes // bands
     exploded = sh.withColumn("h", F.col("h60") % F.lit(2**32))
     sig = exploded.groupBy("id").agg(
         *[
@@ -191,15 +187,36 @@ def minhash_lsh_pairs(
             ]
         ).alias("bands"),
     )
+    return banded_keys.select("id", F.explode("bands").alias("bk")).select(
+        "id", "bk.band_idx", "bk.band_key"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan: per-doc shingle+signature map stage → explode bands →
+    bucket pair expansion on (band_idx, band_key) → distinct candidate
+    pairs → exact-Jaccard verify on the shingle sets. The only shuffles
+    are the band bucketing and the final distinct.
+    """
+    sh = minhash_sketch(df, id_col, text_col, k, portable)
+    banded = minhash_band_keys(sh, num_hashes, bands)
     # Candidate generation carries IDs only, via ONE pass: group ids per
     # (band, key) bucket and expand in-bucket pairs. A self-join instead
     # would recompute the whole signature lineage per side (no CSE across
     # join branches) and shuffle twice. Bucket sizes are LSH-bounded
     # (collisions ≈ near-dup groups), so the in-bucket pair product is
     # small by construction.
-    banded = banded_keys.select(
-        "id", F.explode("bands").alias("bk")
-    ).select("id", "bk.band_idx", "bk.band_key")
     buckets = (
         banded.groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))

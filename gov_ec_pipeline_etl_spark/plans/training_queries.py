@@ -881,3 +881,124 @@ def u11_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("novelty_ppm"),
         )
     )
+
+
+from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+    MINHASH_PRIME as _MH_PRIME,
+)
+from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+    minhash_coeffs as _minhash_coeffs,
+)
+
+# the same 12 affine signature slots the engine uses, rendered for SQL
+_SIG_SQL = ", ".join(
+    f"MIN(({a} * h + {b}) % {_MH_PRIME}) AS s{i}"
+    for i, (a, b) in enumerate(_minhash_coeffs(12))
+)
+
+
+@register(
+    "u12_incremental_neardup",
+    oracle=f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        arrivals AS (
+          SELECT doc_id + {MUT_OFFSET} AS doc_id, text || ' zz0 zz1 zz2' AS text
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        both_sides AS (
+          SELECT doc_id, text, 0 AS is_new FROM corpus
+          UNION ALL
+          SELECT doc_id, text, 1 AS is_new FROM arrivals
+        ),
+        toksed AS (
+          SELECT doc_id, is_new, {TOKS_SQL} AS toks FROM both_sides
+        ),
+        sh AS (
+          SELECT doc_id, is_new,
+                 unnest(list_transform({shingles_sql(3)}, s ->
+                   CAST('0x' || substr(md5('0:' || s), 1, 15) AS BIGINT)))
+                   AS h60
+          FROM toksed
+        ),
+        h32 AS (SELECT doc_id, is_new, h60 % 4294967296 AS h FROM sh),
+        sig AS (
+          SELECT doc_id, is_new,
+                 {_SIG_SQL}
+          FROM h32 GROUP BY doc_id, is_new
+        ),
+        banded AS (
+          SELECT doc_id, is_new, b.band_idx,
+                 md5(CASE b.band_idx
+                     WHEN 0 THEN s0 || ',' || s1 || ',' || s2
+                     WHEN 1 THEN s3 || ',' || s4 || ',' || s5
+                     WHEN 2 THEN s6 || ',' || s7 || ',' || s8
+                     ELSE s9 || ',' || s10 || ',' || s11 END) AS band_key
+          FROM sig, (SELECT unnest(range(0, 4)) AS band_idx) b
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+          FROM banded n JOIN banded c
+            ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+          WHERE n.is_new = 1 AND c.is_new = 0
+        ),
+        sizes AS (
+          SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ),
+        inter AS (
+          SELECT cd.new_id, cd.corpus_id, COUNT(*) AS i
+          FROM cand cd
+          JOIN sh a ON a.doc_id = cd.new_id
+          JOIN sh b ON b.doc_id = cd.corpus_id AND b.h60 = a.h60
+          GROUP BY cd.new_id, cd.corpus_id
+        )
+        SELECT i.new_id, i.corpus_id,
+               ROUND(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.new_id
+        JOIN sizes sb ON sb.doc_id = i.corpus_id
+        WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5
+    """,
+    doc="INCREMENTAL near-dup: a batch of new arrivals (every 5th doc, "
+    "mutated) checked against the EXISTING corpus only — the streaming-"
+    "ingest dedup shape. The corpus sketch and band keys are computed "
+    "once and reusable across batches (minhash_sketch/minhash_band_keys "
+    "— at scale they are stored tables); per batch the work is "
+    "sketching the arrivals plus one asymmetric band join, never a "
+    "corpus self-join. The oracle rebuilds the identical signature "
+    "math (portable hash family) and verifies exact Jaccard >= 0.5.",
+    tags=("dedup", "incremental", "llm-pipeline"),
+)
+def u12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        jaccard_verify,
+        minhash_band_keys,
+        minhash_sketch,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    arrivals = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"),
+    )
+    # corpus sketch/bands: computed once, reusable across batches (at
+    # scale these are stored tables, not recomputed per batch)
+    sh_corpus = minhash_sketch(docs, "doc_id", "text", 3)
+    bands_corpus = minhash_band_keys(sh_corpus)
+    sh_new = minhash_sketch(arrivals, "doc_id", "text", 3)
+    bands_new = minhash_band_keys(sh_new)
+
+    cand = (
+        bands_new.withColumnsRenamed({"id": "id_a"})
+        .join(
+            bands_corpus.withColumnsRenamed({"id": "id_b"}),
+            ["band_idx", "band_key"],
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    rows = sh_new.unionByName(sh_corpus)
+    return jaccard_verify(cand, rows, 0.5, on="h60").select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
+    )
