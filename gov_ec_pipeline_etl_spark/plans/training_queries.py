@@ -1002,3 +1002,161 @@ def u12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("corpus_id"),
         "jaccard",
     )
+
+
+@register(
+    "u13_dedup_funnel",
+    oracle=f"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {MUT_OFFSET}, text FROM documents        -- exact copies
+          UNION ALL
+          SELECT doc_id + {2 * MUT_OFFSET}, text || ' zz0 zz1 zz2'
+          FROM documents                                           -- near copies
+        ),
+        toks AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM corpus
+        ),
+        exact_kept AS (
+          SELECT doc_id, text, n_tokens FROM (
+            SELECT *, MIN(doc_id) OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            ) AS keep_id
+            FROM toks
+          ) WHERE doc_id = keep_id
+        ),
+        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM exact_kept),
+        mh AS (
+          SELECT doc_id,
+                 list_min(list_transform({shingles_sql(5)}, s -> md5(s))) AS min_sh
+          FROM toksed
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM mh a JOIN mh b ON a.min_sh = b.min_sh AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(src, dst) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clusters AS (
+          SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        ),
+        sized AS (
+          SELECT k.doc_id, c.cluster_id, length(k.text) AS n
+          FROM exact_kept k JOIN clusters c USING (doc_id)
+        ),
+        mx AS (SELECT cluster_id, MAX(n) AS mxn FROM sized GROUP BY cluster_id),
+        reps AS (
+          SELECT s.cluster_id, MIN(s.doc_id) AS rep_id
+          FROM sized s JOIN mx m ON s.cluster_id = m.cluster_id AND s.n = m.mxn
+          GROUP BY s.cluster_id
+        ),
+        near_kept AS (
+          SELECT k.doc_id, k.n_tokens FROM exact_kept k
+          LEFT JOIN clusters c ON c.doc_id = k.doc_id
+          LEFT JOIN reps r ON r.cluster_id = c.cluster_id
+          WHERE c.doc_id IS NULL OR k.doc_id = r.rep_id
+        )
+        SELECT * FROM (
+          SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM toks
+          UNION ALL
+          SELECT 'after_exact', CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(n_tokens) AS BIGINT) FROM exact_kept
+          UNION ALL
+          SELECT 'after_near', CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(n_tokens) AS BIGINT) FROM near_kept
+        )
+    """,
+    doc="The WHOLE dedup funnel as one declarative plan: raw corpus "
+    "(with planted exact and near copies) -> exact dedup (min id per "
+    "content fingerprint) -> near-dup clustering (min-shingle "
+    "components) -> representative survival (longest, ties to lowest "
+    "id), reporting documents and token mass retained at each stage — "
+    "the end-to-end curation accounting a training-data owner runs. "
+    "Composes d01/d06/u02's operators; every stage is hash-groupBy / "
+    "window / one iterative CC, no pairwise blowups anywhere.",
+    tags=("dedup", "graph", "llm-pipeline"),
+)
+def u13_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.operators.graph import connected_components
+    from gov_ec_pipeline_etl_spark.operators.textstats import token_count
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.select((F.col("doc_id") + MUT_OFFSET).alias("doc_id"), "text")
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 2 * MUT_OFFSET).alias("doc_id"),
+                F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"),
+            )
+        )
+        .withColumn("n_tokens", token_count("text").cast("bigint"))
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    w_fp = Window.partitionBy(fp)
+    exact_kept = (
+        corpus.withColumn("keep_id", F.min("doc_id").over(w_fp))
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text", "n_tokens")
+        .persist()
+    )
+    exact_kept.count()  # cache barrier: feeds clustering + two aggregates
+
+    rows = shingle_rows(exact_kept, "doc_id", "text", 5)
+    mh = rows.groupBy("id").agg(F.min(F.md5("s")).alias("min_sh"))
+    pairs = (
+        mh.alias("a")
+        .join(
+            mh.alias("b"),
+            (F.col("a.min_sh") == F.col("b.min_sh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    clusters = connected_components(pairs)  # (doc_id, cluster_id)
+    sized = clusters.join(
+        exact_kept.select("doc_id", F.length("text").alias("n")), "doc_id"
+    )
+    reps = sized.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("n")).alias("neg_n"), F.col("doc_id"))
+        ).alias("rep_id")
+    )
+    near_kept = (
+        exact_kept.join(clusters, "doc_id", "left")
+        .join(reps, "cluster_id", "left")
+        .where(
+            F.col("cluster_id").isNull()
+            | (F.col("doc_id") == F.col("rep_id"))
+        )
+        .select("doc_id", "n_tokens")
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+
+    return (
+        stage(corpus, "raw")
+        .unionByName(stage(exact_kept, "after_exact"))
+        .unionByName(stage(near_kept, "after_near"))
+    )
