@@ -1,0 +1,54 @@
+"""Plan-shape regression guards for the round-2 performance work.
+
+These lock in properties the bench numbers depend on: the cosine hot
+path stays a flat codegen expression (array HOFs are interpreted per
+element — PERF.md item 2/8), the MinHash pipeline keeps its reduced
+exchange count (item 10), and scans stay column-pruned. Plan strings
+are version-sensitive; assertions target stable substrings only.
+"""
+
+from __future__ import annotations
+
+import re
+
+from gov_ec_pipeline_etl_spark.plans import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    q = all_queries()[name]
+    return (
+        q.spark(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_cosine_hot_path_is_flat_expression(spark):
+    plan = _plan(spark, "s01_cosine_topk")
+    # the per-PAIR kernel must not be a zip_with/aggregate lambda chain
+    assert "zip_with" not in plan
+    # ...and must appear as the unrolled elementwise product
+    assert re.search(r"qv#\d+\[0\] \* cv#\d+\[0\]", plan), plan[:500]
+    # per-ROW vector cast (as_double) is the only tolerated HOF site
+    assert plan.lower().count("lambdafunction") <= 4
+
+
+def test_minhash_exchange_budget(spark):
+    """The single-exchange shingle pipeline holds: regressing to
+    distinct()-based dedup or a band self-join adds exchanges."""
+    plan = _plan(spark, "d02_minhash_lsh")
+    assert plan.count("Exchange") <= 18, plan.count("Exchange")
+
+
+def test_scans_column_pruned(spark):
+    """Projection reaches the parquet scan: a 2-column query must not
+    read the whole documents schema (5 columns)."""
+    plan = _plan(spark, "t01_token_counts")
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and m.group(1) == "struct<doc_id:bigint,text:string>", m
+
+
+def test_flagship_filter_pushdown(spark):
+    """q01's shipdate filter reaches the lineitem scan."""
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
