@@ -17,6 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gov_ec_pipeline_etl_spark.plans import all_queries  # noqa: E402
+from gov_ec_pipeline_etl_spark.plans.registry import oracle_text  # noqa: E402
+
+# The driver runs the correctness gate at sf0.01; lazy oracles (SQL with
+# data-derived golden literals) are resolved against that scale factor.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: q.oracle
+        name: oracle_text(q, DRIVER_SF_DIR)
         for name, q in sorted(all_queries().items())
         if q.oracle is not None
     }

@@ -124,7 +124,11 @@ def run_all(sf_dir: str, names: list[str] | None = None, spark=None) -> dict[str
                     out[name] = f"ERROR {type(e).__name__}: {e}"
                 continue
             try:
-                ok, msg = compare(q.spark(spark, sf_dir), q.oracle, sf_dir, con)
+                from gov_ec_pipeline_etl_spark.plans.registry import oracle_text
+
+                ok, msg = compare(
+                    q.spark(spark, sf_dir), oracle_text(q, sf_dir), sf_dir, con
+                )
                 out[name] = ("OK " if ok else "MISMATCH ") + msg
             except Exception as e:  # noqa: BLE001
                 out[name] = f"ERROR {type(e).__name__}: {e}"

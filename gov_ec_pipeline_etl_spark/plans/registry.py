@@ -45,20 +45,28 @@ class Query:
 
     ``oracle`` is ANSI SQL executable by DuckDB over the pre-registered
     parquet views; ``None`` marks a genuinely non-SQL-expressible operator
-    (the driver then records a weaker rows-only check).
+    (the driver then records a weaker rows-only check). It may also be a
+    callable ``sf_dir -> str`` for oracles whose SQL embeds data-derived
+    golden literals (e.g. r08's CPython-computed uuid5 values) — resolve
+    with ``oracle_text`` at the scale factor being checked.
     """
 
     name: str
     spark: SparkQuery
-    oracle: str | None
+    oracle: str | Callable[[str], str] | None
     doc: str = ""
     bench: bool = False  # included in bench.py headline set
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
+def oracle_text(q: Query, sf_dir: str) -> str | None:
+    """Resolve a query's oracle to SQL for ``sf_dir`` (None stays None)."""
+    return q.oracle(sf_dir) if callable(q.oracle) else q.oracle
+
+
 def register(
     name: str,
-    oracle: str | None,
+    oracle: str | Callable[[str], str] | None,
     doc: str = "",
     bench: bool = False,
     tags: tuple[str, ...] = (),

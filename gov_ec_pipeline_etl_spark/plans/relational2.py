@@ -137,17 +137,49 @@ def x19_string_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r08_oracle(sf_dir: str) -> str:
+    """Golden-VALUES oracle: DuckDB has no SHA-1 (so no uuid5), so the
+    expected ids for the deterministic sample are computed here with
+    CPython's ``uuid`` module — the RFC-4122 reference implementation —
+    and embedded as SQL literals. The business keys are rendered with
+    plain Python string formatting, independent of the engine's
+    concat_ws/cast path, so both the key construction and the uuid are
+    cross-checked."""
+    import duckdb
+
+    from gov_ec_pipeline_etl_spark.functions.ids import uuid5_py
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            "SELECT l_orderkey, l_linenumber "
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet') "
+            "WHERE l_orderkey % 600 = 0 ORDER BY l_orderkey, l_linenumber"
+        ).fetchall()
+    finally:
+        con.close()
+    vals = ", ".join(
+        f"('{ok}|{ln}', '{uuid5_py('lineitem', f'{ok}|{ln}')}')" for ok, ln in rows
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(business_key, surrogate_id)"
+    )
+
+
 @register(
     "r08_surrogate_uuid5",
-    oracle=None,  # no uuid5 in DuckDB; bit-exactness vs CPython's uuid
-    # module is pinned by tests/test_functions.py
+    oracle=_r08_oracle,
     doc="RFC-4122 v5 surrogate over the business key (reference K4, "
     "etl/transform.py:483-493) — Arrow-batched pandas UDF, the only "
-    "operator besides accent-strip that needs Python.",
+    "operator besides accent-strip that needs Python. Gated against a "
+    "golden-VALUES oracle (CPython-computed uuids for a deterministic "
+    "l_orderkey % 600 sample) plus bit-exact unit tests vs uuid.uuid5.",
     tags=("ids", "reference", "pandas-udf"),
 )
 def r08_surrogate_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem").limit(5000)
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 600 == 0)
     bk = business_key(li, ["l_orderkey", "l_linenumber"])
     return li.select(
         bk.alias("business_key"),

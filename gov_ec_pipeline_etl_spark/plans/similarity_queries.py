@@ -99,12 +99,69 @@ def s02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(corpus, threshold=0.999, bucketed=True)
 
 
+def _lsh_oracle(
+    dim: int = 64, n_planes: int = 8, k: int = 5, n_queries: int = 10
+) -> str:
+    """Full SQL oracle for the hyperplane-LSH ANN: the LSH is
+    DETERMINISTIC literal arithmetic (seeded hyperplanes embedded as
+    double literals), so DuckDB can reproduce the bucket keys — each
+    sign bit is the same left-to-right unrolled projection the engine
+    generates in ``bucket_key`` — then the bucket equi-join, exact
+    cosine rerank, and top-k, exactly as d02's MinHash signature math
+    is oracled. ``dim`` is pinned to the testdata embedding width (64
+    at every sf); the engine side still reads it from data, and a
+    mismatch surfaces as an oracle failure rather than silence."""
+    from gov_ec_pipeline_etl_spark.operators.similarity import hyperplanes
+
+    bits = []
+    for i, p in enumerate(hyperplanes(dim, n_planes)):
+        # v is 1-indexed in DuckDB; CAST('…' AS DOUBLE) is strtod — the
+        # same correctly-rounded double Spark parses from the D-suffixed
+        # literal, so the sign tests agree bit-for-bit
+        proj = " + ".join(
+            f"v[{j + 1}]*CAST('{float(c)!r}' AS DOUBLE)" for j, c in enumerate(p)
+        )
+        bits.append(
+            f"(CASE WHEN {proj} >= 0 THEN CAST({1 << i} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket_sql = " + ".join(bits)
+    return f"""
+        WITH keyed AS (
+          SELECT vec_id, v,
+                 sqrt(list_dot_product(v, v)) AS n,
+                 ({bucket_sql}) AS bucket
+          FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+          )
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.v, c.v) / (q.n * c.n) AS cos
+          FROM keyed c JOIN keyed q ON c.bucket = q.bucket
+          WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, rnk FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                 ) AS rnk
+          FROM scored
+        ) WHERE rnk <= {k}
+    """
+
+
 @register(
     "s03_ann_lsh_topk",
-    oracle=None,  # approximate operator: recall vs brute force is unit-tested
+    oracle=_lsh_oracle(),
     doc="Random-hyperplane LSH ANN top-5: bucket join + exact rerank. "
     "The production path at corpus scale — the corpus is bucketed once "
-    "and reused; per-query work is one bucket, not the full corpus.",
+    "and reused; per-query work is one bucket, not the full corpus. "
+    "The hyperplanes are deterministic literals, so the oracle replays "
+    "the full bucket+rerank math in SQL (recall vs brute force is "
+    "additionally unit-tested).",
     tags=("similarity", "ann", "lsh", "llm-pipeline"),
 )
 def s03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

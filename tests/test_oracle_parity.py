@@ -8,6 +8,7 @@ import pytest
 
 from gov_ec_pipeline_etl_spark.oracle import compare, duckdb_connection
 from gov_ec_pipeline_etl_spark.plans import all_queries
+from gov_ec_pipeline_etl_spark.plans.registry import oracle_text
 from tests.conftest import SF_SMOKE
 
 QUERIES = sorted(all_queries().items())
@@ -23,7 +24,7 @@ def duck():
 @pytest.mark.parametrize("name", [n for n, q in QUERIES if q.oracle is not None])
 def test_oracle_parity(spark, duck, name):
     q = all_queries()[name]
-    ok, msg = compare(q.spark(spark, SF_SMOKE), q.oracle, SF_SMOKE, duck)
+    ok, msg = compare(q.spark(spark, SF_SMOKE), oracle_text(q, SF_SMOKE), SF_SMOKE, duck)
     assert ok, f"{name}: {msg}"
 
 
