@@ -195,47 +195,47 @@ def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_oracle(k: int = 3, max_bucket: int = 50) -> str:
+def _ngram_oracle(k: int = 3, max_df: int = 50) -> str:
     return f"""
         WITH corpus AS ({DIRTY_SQL}),
         toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
         sh AS (SELECT doc_id, {shingles_sql(k)} AS shingles FROM toksed),
         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         counts AS (SELECT shingle, COUNT(*) AS c FROM inv GROUP BY shingle),
-        small AS (
+        kept AS (
           SELECT i.shingle, i.doc_id FROM inv i
-          JOIN counts USING (shingle) WHERE c BETWEEN 2 AND {max_bucket}
+          JOIN counts USING (shingle) WHERE c <= {max_df}
         ),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM small a JOIN small b
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+          FROM kept a JOIN kept b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
         )
         SELECT id_a, id_b,
-               ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                 / (len(sa.shingles) + len(sb.shingles)
-                    - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
-        FROM pairs
-        JOIN sh sa ON sa.doc_id = id_a
-        JOIN sh sb ON sb.doc_id = id_b
-        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-              / (len(sa.shingles) + len(sb.shingles)
-                 - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+               ROUND(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.5
     """
 
 
 @register(
     "d04_ngram_jaccard",
     oracle=_ngram_oracle(),
-    doc="Exact n-gram Jaccard with inverted-index candidate generation "
-    "(buckets capped at 50 ids — the documented recall/speed trade for "
-    "stopword-like shingles at scale).",
+    doc="n-gram Jaccard over DF-filtered shingles with inverted-index "
+    "candidate generation: shingles in more than 50 documents (stopword "
+    "n-grams) are dropped from index AND verification — the documented "
+    "recall/speed trade that bounds both bucket pair expansion and the "
+    "exact-verify joins at scale.",
     tags=("dedup", "jaccard", "llm-pipeline"),
 )
 def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _dirty_docs(spark, sf_dir), "doc_id", "text",
-        k=3, jaccard_threshold=0.5, max_bucket=50,
+        k=3, jaccard_threshold=0.5, max_df=50,
     )
 
 
