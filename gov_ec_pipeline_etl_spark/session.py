@@ -18,13 +18,26 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _default_driver_memory() -> str:
+    """Local-mode executors live inside the driver JVM; the Spark default
+    heap (1g) OOMs wide shuffles. Size to min(32g, ~1/4 of physical RAM,
+    floor 2g) so smaller hosts spill instead of getting OOM-killed;
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides (any JVM size string). Applied
+    only when this factory creates the first session in the process
+    (driver memory is a JVM-start setting); external harnesses that pass
+    their own session keep their own sizing."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    return f"{max(2, min(32, int(ram_gb / 4)))}g"
+
+
 DEFAULT_CONF: dict[str, str] = {
-    # local-mode executors live inside the driver JVM; the Spark default
-    # heap (1g) OOMs wide shuffles on a 128 GiB box. Applied only when
-    # this factory creates the first session in the process (driver
-    # memory is a JVM-start setting); external harnesses that pass their
-    # own session keep their own sizing.
-    "spark.driver.memory": "32g",
+    "spark.driver.memory": _default_driver_memory(),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -35,3 +35,16 @@ def test_fail_fast_naming_the_variable(monkeypatch):
 def test_blacklist_csv(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SHEET_BLACKLIST", "Contenido, Notas ,")
     assert load_settings().sheet_blacklist == ("contenido", "notas")
+
+
+def test_driver_memory_env_override(monkeypatch):
+    from gov_ec_pipeline_etl_spark.session import _default_driver_memory
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "6g")
+    assert _default_driver_memory() == "6g"
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    derived = _default_driver_memory()
+    # RAM-derived: between the 2g floor and the 32g cap, never above
+    # ~1/4 of physical memory
+    gb = int(derived.rstrip("g"))
+    assert 2 <= gb <= 32
