@@ -625,8 +625,9 @@ _FEATURE_SCHEMA = (
         )
         SELECT media_id,
                CAST(n_bytes AS BIGINT) AS n_bytes,
-               CAST((list_sum(codes) * 1000000) // n_bytes AS BIGINT)
-                 AS mean_byte_ppm,
+               CAST(CASE WHEN n_bytes = 0 THEN 0
+                    ELSE (list_sum(codes) * 1000000) // n_bytes
+               END AS BIGINT) AS mean_byte_ppm,
                CAST(len(list_distinct(codes)) AS BIGINT) AS n_distinct_bytes
         FROM chars
     """,
@@ -664,7 +665,10 @@ def u08_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         int(mid),
                         int(b.size),
-                        int(b.sum()) * 1_000_000 // int(b.size),
+                        # empty payload -> 0, not ZeroDivisionError (one
+                        # empty document must not fail the Arrow batch);
+                        # the oracle carries the same CASE guard
+                        int(b.sum()) * 1_000_000 // int(b.size) if b.size else 0,
                         int(np.unique(b).size),
                     )
                 )

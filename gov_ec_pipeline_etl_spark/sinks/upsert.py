@@ -91,6 +91,7 @@ def upsert_parquet(
     key: str = "surrogate_id",
     partition_by: list[str] | None = None,
     allow_partition_move: bool = False,
+    verify_no_partition_move: bool = False,
 ) -> dict[str, int]:
     """MERGE semantics on a parquet table. Returns metrics.
 
@@ -102,7 +103,17 @@ def upsert_parquet(
     table by e.g. ``ano`` / ``codigo_provincia`` gives Spark static +
     dynamic partition pruning on exactly the predicates those indexes
     served, and scopes the merge itself to the touched partitions.
-    """
+
+    ``verify_no_partition_move`` audits the partition-scoped path's
+    precondition (partition columns are stable functions of the key):
+    it counts key matches across the WHOLE table — a key-column-only
+    scan, column-pruned at the parquet reader, so it reads one thin
+    column not the table — and raises ``PartitionMoveError`` if any
+    update key matches an existing row outside the touched partitions
+    (which the scoped merge would silently duplicate). Off by default:
+    the audit is O(table keys) per load where the merge itself is
+    O(touched); run it on a schedule, or permanently if a thin key
+    column read is acceptable per load."""
     os.makedirs(target_dir, exist_ok=True)
     # The update batch is read several times (count, touched-partition
     # derivation, match count, the merge itself); persist it so an
@@ -111,10 +122,23 @@ def upsert_parquet(
     updates = updates.dropDuplicates([key]).persist()
     try:
         return _upsert_parquet(
-            spark, updates, target_dir, key, partition_by, allow_partition_move
+            spark,
+            updates,
+            target_dir,
+            key,
+            partition_by,
+            allow_partition_move,
+            verify_no_partition_move,
         )
     finally:
         updates.unpersist()
+
+
+class PartitionMoveError(RuntimeError):
+    """An update batch matched existing keys outside the partitions it
+    touches: the partition columns are NOT a stable function of the key,
+    and a partition-scoped merge would leave stale duplicates. Re-run
+    with allow_partition_move=True (full-table merge) or fix upstream."""
 
 
 def _upsert_parquet(
@@ -124,19 +148,40 @@ def _upsert_parquet(
     key: str,
     partition_by: list[str] | None,
     allow_partition_move: bool,
+    verify_no_partition_move: bool,
 ) -> dict[str, int]:
     current = read_table(spark, target_dir)
     n_updates = updates.count()  # also materializes the persisted batch
 
-    if n_updates == 0 and current is not None:
+    if n_updates == 0:
         # nothing to merge: leave the table untouched (an empty batch
-        # must not rewrite snapshots or derive an empty partition filter)
+        # must not rewrite snapshots or derive an empty partition
+        # filter; on a nonexistent table it must not create a
+        # zero-file snapshot, which parquet cannot re-read a schema
+        # from — found by the merge-convergence property test)
         return {"rows_upserted": 0, "rows_matched": 0, "rows_inserted": 0}
 
     if current is not None and partition_by and not allow_partition_move:
-        return _merge_touched_partitions(
+        metrics = _merge_touched_partitions(
             spark, updates, target_dir, key, partition_by, n_updates
         )
+        if verify_no_partition_move:
+            # count against the PRE-merge table state (its snapshot is
+            # retained by deferred GC) so moved keys are still visible
+            n_total_matched = current.join(
+                updates.select(key), key, "left_semi"
+            ).count()
+            metrics["rows_matched_outside_touched"] = (
+                n_total_matched - metrics["rows_matched"]
+            )
+            if n_total_matched > metrics["rows_matched"]:
+                raise PartitionMoveError(
+                    f"{n_total_matched - metrics['rows_matched']} update key(s) "
+                    "matched rows outside the touched partitions; the scoped "
+                    "merge duplicated them. The table still holds both copies "
+                    "— re-merge with allow_partition_move=True to repair."
+                )
+        return metrics
 
     if current is None:
         merged = updates
@@ -174,9 +219,22 @@ def _merge_touched_partitions(
     n_updates: int,
 ) -> dict[str, int]:
     """Partition-scoped MERGE: read + rewrite ONLY the partitions the
-    updates touch (dynamic partition overwrite); untouched partition
-    directories are never scanned (partition pruning on the touched-
-    tuples predicate) and never rewritten. O(touched) I/O per load."""
+    updates touch; untouched partition directories are never scanned
+    (partition pruning on the touched-tuples predicate) and never
+    rewritten. O(touched) I/O per load.
+
+    Crash safety matches the unpartitioned path: the merge lands in a
+    FRESH snapshot directory — untouched partition directories are
+    hard-linked from the current snapshot (a metadata-only O(#files)
+    operation, no data copied; the local-FS analogue of a table
+    format's manifest re-pointing, which Delta/Iceberg provide on
+    object stores) and the touched partitions are then replaced there
+    via dynamic partition overwrite. The pointer swaps only after the
+    write commits, so a crash at ANY point leaves the current snapshot
+    and pointer intact, and concurrent readers never observe a
+    partition mid-replacement. Deleting superseded files during
+    deferred GC only drops links; inodes shared with live snapshots
+    survive."""
     snap = _current_snapshot(target_dir)
     current = spark.read.parquet(snap)
     pred, n_touched = _touched_partition_filter(updates, partition_by)
@@ -186,12 +244,24 @@ def _merge_touched_partitions(
         updates.select(key), key, "left_anti"
     ).unionByName(updates, allowMissingColumns=True)
 
+    snap_name = f"snapshot_{uuid.uuid4().hex[:12]}"
+    snap_path = os.path.join(target_dir, snap_name)
+    shutil.copytree(snap, snap_path, copy_function=os.link)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(snap)
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(snap_path)
+    except BaseException:
+        # the write never published: drop the half-built snapshot so it
+        # can't be mistaken for live data; the pointer still names the
+        # old snapshot
+        shutil.rmtree(snap_path, ignore_errors=True)
+        raise
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    _swap_pointer(target_dir, snap_name)
+    _gc_snapshots(target_dir, keep={snap_name, os.path.basename(snap)})
 
     return {
         "rows_upserted": n_updates,
@@ -229,21 +299,44 @@ def compact_partitions(
     each touched partition; at scale the small-file count, not the
     bytes, becomes the scan bottleneck. Rewrites the CURRENT snapshot
     into a new one with ``files_per_partition`` files per partition
-    (repartitioned on the partition columns) and swaps the pointer —
-    the same deferred-GC protocol as the merge itself. Run it on the
-    cadence small files accumulate (e.g. weekly after N daily loads).
+    directory and swaps the pointer — the same deferred-GC protocol as
+    the merge itself. Run it on the cadence small files accumulate
+    (e.g. weekly after N daily loads).
+
+    For >1 file the split happens in the WRITER via maxRecordsPerFile
+    sized so the largest partition yields ``files_per_partition`` files
+    (smaller partitions proportionally fewer). A salt/repartition
+    scheme is deliberately NOT used: hash repartition on the partition
+    columns lands each tuple wholly in one task (always one file), and
+    task-count salting is defeated by AQE coalescing small shuffle
+    partitions. For an unpartitioned table ``files_per_partition`` is
+    the total file count (a coalesce to that many tasks — inherent to
+    producing exactly N files).
     """
     snap = _current_snapshot(target_dir)
     if snap is None:
         return {"files_before": 0, "files_after": 0}
     current = spark.read.parquet(snap)
     files_before = len(current.inputFiles())
+    max_records = None
     if partition_by:
-        compacted = current.repartition(files_per_partition, *partition_by)
+        compacted = current.repartition(*partition_by)
+        if files_per_partition > 1:
+            # per-partition row counts read parquet footers only (no
+            # data columns), so this aggregate is metadata-cheap
+            biggest = (
+                current.groupBy(*partition_by)
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+            max_records = -(-int(biggest) // files_per_partition)  # ceil
     else:
         compacted = current.coalesce(files_per_partition)
     snap_name = f"snapshot_{uuid.uuid4().hex[:12]}"
     writer = compacted.write.mode("overwrite")
+    if max_records is not None:
+        writer = writer.option("maxRecordsPerFile", max_records)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(target_dir, snap_name))
@@ -262,11 +355,16 @@ def streaming_upsert_sink(
     partition_by: list[str] | None = None,
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
+    allow_partition_move: bool = False,
+    verify_no_partition_move: bool = False,
 ):
     """Streaming CDC into the keyed table: ``foreachBatch`` applies each
     micro-batch through the same idempotent MERGE as batch loads, so a
     replayed batch (at-least-once delivery after failure) converges to
     the same table state — the streaming face of reference W2.
+    ``allow_partition_move`` / ``verify_no_partition_move`` pass through
+    to the merge (streams whose keys can change partition need one of
+    them, same as batch).
 
     Returns the started StreamingQuery (caller awaits termination)."""
 
@@ -277,6 +375,8 @@ def streaming_upsert_sink(
             target_dir,
             key=key,
             partition_by=partition_by,
+            allow_partition_move=allow_partition_move,
+            verify_no_partition_move=verify_no_partition_move,
         )
 
     writer = stream_df.writeStream.foreachBatch(_merge_batch).outputMode("update")

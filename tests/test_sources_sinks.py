@@ -451,3 +451,181 @@ def test_upsert_crash_before_pointer_swap_preserves_table(spark, tmp_path):
         "b",
     }
     assert not os.path.exists(orphan)  # orphan collected by the next GC
+
+
+def test_upsert_partitioned_crash_preserves_snapshot(spark, tmp_path, monkeypatch):
+    """Partitioned merges get the same snapshot + pointer-swap + deferred
+    GC protocol as unpartitioned ones: a writer dying between the new
+    snapshot's write and the pointer swap leaves readers on the previous
+    consistent table (untouched partitions hard-linked, touched ones
+    rewritten in the NEW directory only), and the orphan is collected by
+    the next successful merge."""
+    import glob
+    import os
+
+    from gov_ec_pipeline_etl_spark.sinks import upsert as up
+
+    target = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [("a", 2023, 1.0), ("b", 2024, 2.0)],
+        "surrogate_id: string, ano: int, v: double",
+    )
+    upsert_parquet(spark, df, target, partition_by=["ano"])
+    snap0 = up._current_snapshot(target)
+    files0 = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(snap0, "**", "*.parquet"), recursive=True)
+    }
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before pointer swap")
+
+    monkeypatch.setattr(up, "_swap_pointer", boom)
+    upd = spark.createDataFrame(
+        [("b", 2024, 20.0)], "surrogate_id: string, ano: int, v: double"
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        upsert_parquet(spark, upd, target, partition_by=["ano"])
+    monkeypatch.undo()
+
+    # reader still on the old consistent snapshot, bytes untouched
+    assert up._current_snapshot(target) == snap0
+    rows = {r.surrogate_id: r.v for r in read_table(spark, target).collect()}
+    assert rows == {"a": 1.0, "b": 2.0}
+    for p, mtime in files0.items():
+        assert os.path.getmtime(p) == mtime, p
+
+    # next successful merge converges and collects the orphan
+    m = upsert_parquet(spark, upd, target, partition_by=["ano"])
+    assert m["rows_matched"] == 1
+    rows = {r.surrogate_id: r.v for r in read_table(spark, target).collect()}
+    assert rows == {"a": 1.0, "b": 20.0}
+    snaps = glob.glob(os.path.join(target, "snapshot_*"))
+    assert len(snaps) == 2  # current + previous; orphan gone
+
+
+def test_upsert_partition_move_guard(spark, tmp_path):
+    """verify_no_partition_move audits the scoped path's precondition:
+    an update whose key matches a row OUTSIDE the touched partitions
+    raises PartitionMoveError instead of silently duplicating the key."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import PartitionMoveError
+
+    target = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [("a", 2023, 1.0), ("b", 2024, 2.0)],
+        "surrogate_id: string, ano: int, v: double",
+    )
+    upsert_parquet(spark, df, target, partition_by=["ano"])
+
+    stable = spark.createDataFrame(
+        [("b", 2024, 20.0)], "surrogate_id: string, ano: int, v: double"
+    )
+    m = upsert_parquet(
+        spark, stable, target, partition_by=["ano"], verify_no_partition_move=True
+    )
+    assert m["rows_matched_outside_touched"] == 0
+
+    mover = spark.createDataFrame(
+        [("b", 2025, 30.0)], "surrogate_id: string, ano: int, v: double"
+    )
+    with pytest.raises(PartitionMoveError, match="1 update key"):
+        upsert_parquet(
+            spark, mover, target, partition_by=["ano"], verify_no_partition_move=True
+        )
+    # repair path the error message prescribes
+    upsert_parquet(
+        spark, mover, target, partition_by=["ano"], allow_partition_move=True
+    )
+    rows = {(r.surrogate_id, r.ano) for r in read_table(spark, target).collect()}
+    assert rows == {("a", 2023), ("b", 2025)}
+
+
+def test_compact_partitions_multiple_files(spark, tmp_path):
+    """files_per_partition > 1 must actually yield >1 file per partition
+    directory (salted repartition; a bare repartition on the partition
+    columns lands each tuple in one task and so one file)."""
+    import glob
+    import os
+
+    from gov_ec_pipeline_etl_spark.sinks.upsert import compact_partitions
+
+    target = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [(f"k{i}", 2024, float(i)) for i in range(40)],
+        "surrogate_id: string, ano: int, v: double",
+    ).repartition(8)
+    upsert_parquet(spark, df, target, partition_by=["ano"])
+    rows_before = {r.surrogate_id: r.v for r in read_table(spark, target).collect()}
+
+    compact_partitions(spark, target, partition_by=["ano"], files_per_partition=2)
+    snap = read_table(spark, target)
+    part_files = glob.glob(
+        os.path.join(target, "snapshot_*", "ano=2024", "*.parquet")
+    )
+    # two generations may exist; count only the current snapshot's dir
+    from gov_ec_pipeline_etl_spark.sinks import upsert as up
+
+    cur = up._current_snapshot(target)
+    cur_files = [p for p in part_files if p.startswith(cur)]
+    assert len(cur_files) == 2
+    assert {r.surrogate_id: r.v for r in snap.collect()} == rows_before
+
+
+def test_merge_paths_converge_property(spark, tmp_path):
+    """PROPERTY (VERDICT r2 #6): the partition-scoped merge and the
+    full-rewrite merge are the same MERGE. For any sequence of update
+    batches whose partition column is a stable function of the key (the
+    scoped path's contract), applying the sequence through both paths —
+    and through a plain dict replay — converges to identical tables."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.sampled_from(list("abcdef"))
+    batch = st.lists(
+        st.tuples(keys, st.floats(allow_nan=False, allow_infinity=False,
+                                  width=32)),
+        min_size=0, max_size=6,
+    )
+    seqs = st.lists(batch, min_size=1, max_size=4)
+
+    case = [0]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(seq=seqs)
+    def run(seq):
+        case[0] += 1
+        scoped = str(tmp_path / f"scoped_{case[0]}")
+        full = str(tmp_path / f"full_{case[0]}")
+        expect = {}
+        for b in seq:
+            rows = [(k, 2020 + ord(k) % 3, v) for k, v in b]
+            for k, ano, v in rows:
+                expect[k] = (ano, v)  # keep-LAST within the replay...
+            # ...but upsert dedups keep-FIRST within one batch: mirror it
+            seen, first = set(), []
+            for r in rows:
+                if r[0] not in seen:
+                    seen.add(r[0])
+                    first.append(r)
+            expect.update({k: (a, v) for k, a, v in first})
+            df = spark.createDataFrame(
+                rows, "surrogate_id: string, ano: int, v: float"
+            )
+            upsert_parquet(spark, df, scoped, partition_by=["ano"])
+            upsert_parquet(
+                spark, df, full, partition_by=["ano"], allow_partition_move=True
+            )
+        got_scoped = {
+            r.surrogate_id: (r.ano, r.v)
+            for r in (read_table(spark, scoped) or spark.createDataFrame(
+                [], "surrogate_id: string, ano: int, v: float")).collect()
+        }
+        got_full = {
+            r.surrogate_id: (r.ano, r.v)
+            for r in (read_table(spark, full) or spark.createDataFrame(
+                [], "surrogate_id: string, ano: int, v: float")).collect()
+        }
+        assert got_scoped == got_full == expect
+
+    run()
