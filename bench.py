@@ -41,10 +41,15 @@ def main() -> None:
     def run_once(q) -> float:
         t0 = time.perf_counter()
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # operators may persist sketch tables; don't let one query's
-        # cache distort the next query's memory budget
+        dt = round(time.perf_counter() - t0, 3)
+        # inter-query quiesce, outside the timed window: clear persisted
+        # sketch tables AND force a driver GC so Spark's ContextCleaner
+        # releases accumulated broadcasts/shuffle files. Without it one
+        # heavy query's garbage taxes the NEXT query's measurement
+        # (observed 4 s -> 77 s on d02 right after u12's band joins).
         spark.catalog.clearCache()
-        return round(time.perf_counter() - t0, 3)
+        spark.sparkContext._jvm.System.gc()
+        return dt
 
     for q in bench_queries.values():
         run_once(q)

@@ -60,6 +60,7 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s02_embedding_neardup",
+    bench=True,
     oracle=f"""
         WITH corpus AS (
           SELECT vec_id, embedding FROM embeddings

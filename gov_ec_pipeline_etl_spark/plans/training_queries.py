@@ -903,6 +903,7 @@ _SIG_SQL = ", ".join(
 
 @register(
     "u12_incremental_neardup",
+    bench=True,
     oracle=f"""
         WITH corpus AS (SELECT doc_id, text FROM documents),
         arrivals AS (
