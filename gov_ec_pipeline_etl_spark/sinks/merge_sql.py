@@ -32,6 +32,13 @@ from pyspark.sql import DataFrame
 
 _DIALECTS = ("sqlite", "postgres", "ansi")
 
+# Placeholder token is a DRIVER (DB-API paramstyle) property, not a SQL
+# dialect property: psycopg2 uses format (%s), sqlite3/duckdb use qmark
+# (?). Kept orthogonal so e.g. the postgres ON CONFLICT statement can be
+# executed through a qmark driver (how tests/test_merge_sink.py gates
+# the postgres dialect end-to-end against DuckDB's pg-derived parser).
+_PARAMSTYLES = {"qmark": "?", "format": "%s"}
+
 
 def _sqlite_connect(path: str, timeout_s: float):
     import sqlite3
@@ -50,17 +57,44 @@ def sqlite_connect_factory(
     return functools.partial(_sqlite_connect, path, timeout_s)
 
 
+def _duckdb_connect(path: str):
+    import duckdb
+
+    return duckdb.connect(path)
+
+
+def duckdb_connect_factory(path: str) -> Callable[[], object]:
+    """Executor-safe connect factory for a DuckDB target (pg-derived SQL
+    parser; qmark paramstyle). DuckDB is single-writer ACROSS PROCESSES,
+    so callers must serialize partitions (``df.coalesce(1)``) — unlike
+    SQLite there is no busy-timeout handshake between writer processes;
+    used to gate the postgres dialect end-to-end without a server."""
+    return functools.partial(_duckdb_connect, path)
+
+
 def merge_upsert_sql(
-    table: str, columns: list[str], key: str, dialect: str = "sqlite"
+    table: str,
+    columns: list[str],
+    key: str,
+    dialect: str = "sqlite",
+    paramstyle: str | None = None,
 ) -> str:
     """Parameterized upsert statement for one row (placeholders in
     ``columns`` order). ``key`` must be a unique/primary-key column on
-    the target table — ON CONFLICT resolution requires it."""
+    the target table — ON CONFLICT resolution requires it.
+    ``paramstyle`` defaults to the dialect's usual driver (postgres →
+    format, else qmark) but is overridable for drivers that differ."""
     if dialect not in _DIALECTS:
         raise ValueError(f"unknown dialect {dialect!r}; one of {_DIALECTS}")
     if key not in columns:
         raise ValueError(f"key {key!r} not in columns {columns}")
-    ph = "%s" if dialect == "postgres" else "?"
+    if paramstyle is None:
+        paramstyle = "format" if dialect == "postgres" else "qmark"
+    if paramstyle not in _PARAMSTYLES:
+        raise ValueError(
+            f"unknown paramstyle {paramstyle!r}; one of {tuple(_PARAMSTYLES)}"
+        )
+    ph = _PARAMSTYLES[paramstyle]
     collist = ", ".join(columns)
     placeholders = ", ".join(ph for _ in columns)
     non_key = [c for c in columns if c != key]
@@ -136,6 +170,7 @@ def upsert_dbapi(
     batch_size: int = 500,
     max_retries: int = 4,
     backoff_s: float = 0.2,
+    paramstyle: str | None = None,
 ) -> None:
     """Distributed keyed upsert into a DB-API target.
 
@@ -147,7 +182,7 @@ def upsert_dbapi(
     the retry/backoff loop absorbs.
     """
     columns = list(df.columns)
-    sql = merge_upsert_sql(table, columns, key, dialect)
+    sql = merge_upsert_sql(table, columns, key, dialect, paramstyle)
 
     def run_partition(rows: Iterator) -> None:
         batch = [tuple(r[c] for c in columns) for r in rows]

@@ -161,3 +161,70 @@ def test_write_batches_property_random_failures():
         assert cur.rows == rows  # complete, deduplicated, ordered
 
     run()
+
+
+def test_merge_sql_golden_statements():
+    """Exact golden statements per dialect (VERDICT r2 #4): the postgres
+    and ansi generators are asserted verbatim so a regression in either
+    can't hide behind the SQLite-only end-to-end gate."""
+    assert merge_upsert_sql("t", ["k", "a", "b"], "k", "postgres") == (
+        "INSERT INTO t (k, a, b) VALUES (%s, %s, %s) "
+        "ON CONFLICT (k) DO UPDATE SET a = excluded.a, b = excluded.b"
+    )
+    assert merge_upsert_sql("t", ["k", "a"], "k", "ansi") == (
+        "MERGE INTO t t USING (SELECT ? AS k, ? AS a) s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET t.a = s.a "
+        "WHEN NOT MATCHED THEN INSERT (k, a) VALUES (s.k, s.a)"
+    )
+    # paramstyle is a driver property, orthogonal to the dialect
+    assert merge_upsert_sql(
+        "t", ["k", "a"], "k", "postgres", paramstyle="qmark"
+    ).startswith("INSERT INTO t (k, a) VALUES (?, ?) ON CONFLICT")
+    with pytest.raises(ValueError, match="paramstyle"):
+        merge_upsert_sql("t", ["k"], "k", "sqlite", paramstyle="numeric")
+
+
+def test_upsert_dbapi_postgres_dialect_against_duckdb(spark, tmp_path):
+    """Second-ENGINE gate for the postgres dialect (VERDICT r2 #4):
+    DuckDB's parser is Postgres-derived, so the postgres ON CONFLICT
+    statement (through the qmark paramstyle its Python driver uses) is
+    executed end-to-end — insert, update, idempotency — not just
+    string-asserted. coalesce(1) because DuckDB is single-writer across
+    processes (no SQLite-style busy-timeout handshake)."""
+    import duckdb
+
+    from gov_ec_pipeline_etl_spark.sinks.merge_sql import duckdb_connect_factory
+
+    db = str(tmp_path / "target.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE detenidos (surrogate_id TEXT PRIMARY KEY, "
+        "ano INTEGER, total DOUBLE)"
+    )
+    con.close()
+    connect = duckdb_connect_factory(db)
+
+    df = spark.createDataFrame(
+        [(f"k{i}", 2020 + i % 3, float(i)) for i in range(100)],
+        "surrogate_id: string, ano: int, total: double",
+    ).coalesce(1)
+    upsert_dbapi(
+        df, connect, "detenidos", "surrogate_id",
+        dialect="postgres", paramstyle="qmark", batch_size=16,
+    )
+    df2 = spark.createDataFrame(
+        [("k0", 2020, 999.0)], "surrogate_id: string, ano: int, total: double"
+    )
+    for _ in range(2):  # idempotent
+        upsert_dbapi(
+            df2, connect, "detenidos", "surrogate_id",
+            dialect="postgres", paramstyle="qmark",
+        )
+    con = duckdb.connect(db)
+    n, updated = con.execute(
+        "SELECT COUNT(*), SUM(CASE WHEN total = 999.0 THEN 1 ELSE 0 END) "
+        "FROM detenidos"
+    ).fetchone()
+    con.close()
+    assert (n, updated) == (100, 1)
