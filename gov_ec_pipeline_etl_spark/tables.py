@@ -9,7 +9,9 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = [
     "region",
@@ -31,16 +33,42 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one canonical parquet table with deterministic timestamp
+    semantics.
+
+    The driver's parquet stores naive wall-clock timestamps
+    (``isAdjustedToUTC=false``), which Spark 4 infers as TIMESTAMP_NTZ by
+    default while DuckDB reads them as plain naive TIMESTAMP. The engine's
+    contract (SURVEY.md §1.2) is naive-wall-clock-as-UTC TIMESTAMP, so:
+
+    - pin the session timezone to UTC (rendering and epoch extraction
+      match DuckDB's naive reading even under a non-UTC driver session);
+    - disable NTZ inference so the scan yields TimestampType directly —
+      a post-scan cast would block parquet filter pushdown on those
+      columns, this keeps it scan-side;
+    - defensively cast any remaining NTZ field (schemas captured before
+      the conf was set, e.g. cached plans) to TimestampType.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
     """Load the named tables (default: all) as DataFrames.
 
-    Plain ``spark.read.parquet`` — schema comes from parquet footers, and
-    Catalyst handles column pruning + predicate pushdown from the lazy plan,
-    so there is nothing to pre-filter here.
+    Schema comes from parquet footers (normalized to TIMESTAMP semantics
+    by :func:`read_table`), and Catalyst handles column pruning + predicate
+    pushdown from the lazy plan, so there is nothing to pre-filter here.
     """
-    return {n: spark.read.parquet(table_path(sf_dir, n)) for n in names or TABLES}
+    return {n: read_table(spark, sf_dir, n) for n in names or TABLES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
