@@ -28,6 +28,7 @@ _QUERY_MODULES = [
     "gov_ec_pipeline_etl_spark.plans.relational",
     "gov_ec_pipeline_etl_spark.plans.relational2",
     "gov_ec_pipeline_etl_spark.plans.relational3",
+    "gov_ec_pipeline_etl_spark.plans.tpch_queries",
     "gov_ec_pipeline_etl_spark.plans.windows",
     "gov_ec_pipeline_etl_spark.plans.reference_semantics",
     "gov_ec_pipeline_etl_spark.plans.dedup_queries",
