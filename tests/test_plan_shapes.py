@@ -34,7 +34,13 @@ def test_cosine_hot_path_is_flat_expression(spark):
 
 def test_minhash_exchange_budget(spark):
     """The single-exchange shingle pipeline holds: regressing to
-    distinct()-based dedup or a band self-join adds exchanges."""
+    distinct()-based dedup or a band self-join adds exchanges.
+
+    Cache-hit substitution rewrites subplans as InMemoryTableScan nodes
+    whose printed form embeds their own child exchanges, so an earlier
+    test's persisted fragment can inflate the count — measure the fresh
+    plan."""
+    spark.catalog.clearCache()
     plan = _plan(spark, "d02_minhash_lsh")
     assert plan.count("Exchange") <= 18, plan.count("Exchange")
 
