@@ -110,8 +110,8 @@ def x39_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN customer ON c_custkey = o_custkey
           JOIN nation n1 ON s_nationkey = n1.n_nationkey
           JOIN nation n2 ON c_nationkey = n2.n_nationkey
-          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          WHERE ((n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_20')
+              OR (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_19'))
             AND l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate <  TIMESTAMP '1998-01-01'
         ) shipping
@@ -143,8 +143,8 @@ def x40_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .where(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_20"))
+            | ((F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_19"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
@@ -646,7 +646,7 @@ def x51_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
         JOIN orders      ON o_orderkey = l1.l_orderkey
         JOIN nation      ON s_nationkey = n_nationkey
-        WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
           AND EXISTS (
             SELECT 1 FROM lineitem l2
@@ -671,7 +671,7 @@ def x51_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x52_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     orders_f = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    nation = T(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nation = T(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     supp7 = T(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
