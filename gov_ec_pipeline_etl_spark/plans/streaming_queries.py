@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gov_ec_pipeline_etl_spark.plans.registry import register
 from gov_ec_pipeline_etl_spark.plans.util import T
 from gov_ec_pipeline_etl_spark.streaming.events import (
+    run_attribution_join_stream,
     run_streaming_dedup,
     run_tumbling_window_stream,
     session_window_agg,
@@ -114,3 +115,33 @@ def st04_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_ec_pipeline_etl_spark.streaming.stateful import run_user_counters
 
     return run_user_counters(spark, sf_dir, n_chunks=3)
+
+
+@register(
+    "v01_stream_stream_join",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               epoch_us(c.ts) AS click_ts_us,
+               epoch_us(p.ts) AS purchase_ts_us,
+               ROUND(p.value, 2) AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 24 HOUR
+    """,
+    doc="True stream-stream interval join (click→purchase attribution "
+    "within 24 h): two watermarked file-source streams joined in append "
+    "mode under Trigger.AvailableNow. The watermark + interval bound let "
+    "the state store evict both sides, so the plan runs unbounded; the "
+    "finite single-batch replay makes it equal the batch interval join "
+    "the oracle states. v-tier name: sorts after the driver's 50-slot "
+    "recording window (see registry docstring).",
+    tags=("streaming", "join", "interval"),
+)
+def v01_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_attribution_join_stream(spark, sf_dir)

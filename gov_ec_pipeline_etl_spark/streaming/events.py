@@ -224,3 +224,79 @@ def run_stream_static_enrichment(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to every
+    click by the same user within the preceding 24 hours.
+
+    Both sides carry a 1-hour watermark and the join condition bounds
+    purchase_ts to [click_ts, click_ts + 24h] — together these let the
+    state store evict click rows older than watermark + 24h and purchase
+    rows older than watermark, so state stays O(rate × horizon) instead
+    of O(history). That eviction contract is what makes this shape run
+    indefinitely on an unbounded 100 TB/day stream.
+    """
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+def run_attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the click→purchase interval join as a real stream-stream
+    join: one staged replay of events feeds two file-source streams
+    (filtered to clicks / purchases), append mode, Trigger.AvailableNow.
+
+    The staging write lands well under the file-source's per-batch file
+    cap, so the replay is a single micro-batch and the watermark cannot
+    advance mid-replay and drop rows — the finite-replay equivalence to
+    the batch interval join the oracle asserts.
+    """
+    staging = os.path.join(
+        tempfile.gettempdir(), f"events_attr_{uuid.uuid4().hex[:8]}"
+    )
+    events = T(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(staging)
+
+    clicks = (
+        spark.readStream.schema(events.schema)
+        .parquet(staging)
+        .where(F.col("event_type") == "click")
+    )
+    purchases = (
+        spark.readStream.schema(events.schema)
+        .parquet(staging)
+        .where(F.col("event_type") == "purchase")
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        attribution_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
