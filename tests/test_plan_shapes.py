@@ -58,3 +58,26 @@ def test_flagship_filter_pushdown(spark):
     plan = _plan(spark, "q01_pricing_summary")
     assert "PushedFilters: [" in plan
     assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_timestamp_filters_reach_scan(spark):
+    """Timestamp range predicates must push into the parquet scan.
+
+    Guards the read_table NTZ normalization: inference is disabled
+    scan-side (TimestampType comes straight off the footer), so date
+    filters stay pushable. A post-scan NTZ->TIMESTAMP cast would
+    silently turn these into residual filters."""
+    plan = _plan(spark, "x43_returned_items")
+    pushed = " ".join(
+        m.group(0) for m in re.finditer(r"PushedFilters: \[[^\]]*\]", plan)
+    )
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, pushed
+    assert "EqualTo(l_returnflag,R)" in pushed, pushed
+
+
+def test_tpch_dims_broadcast(spark):
+    """The new TPC-H tier keeps dimension sides broadcast: no
+    sort-merge join may appear in x43's plan at smoke scale."""
+    plan = _plan(spark, "x43_returned_items")
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
