@@ -461,3 +461,52 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def write_sketch_table(sh: DataFrame, path: str) -> None:
+    """Materialize a (id, h60) shingle sketch as a stored parquet table.
+
+    This is the cluster-scale form of minhash_sketch's persist+count
+    barrier: the corpus sketch is computed ONCE when a corpus snapshot
+    is built and every later ingest batch reads it back — no per-batch
+    corpus re-shingling, no corpus self-join. Repartitioned on id so an
+    incremental band join shuffles only the (small) arrival side when
+    the table is read back co-partitioned."""
+    sh.repartition("id").write.mode("overwrite").parquet(path)
+
+
+def read_sketch_table(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_neardup_against(
+    arrivals: DataFrame,
+    stored_sketch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup check of an arrival batch against a STORED corpus sketch
+    (the streaming-ingest dedup shape, u12's premise made an API).
+
+    Work per batch: shingle+sketch the arrivals, band BOTH sides (band
+    keys are cheap min-aggregates over the sketch — the stored table is
+    the expensive artifact), one asymmetric band join, exact-Jaccard
+    rerank of the candidates. Returns (new_id, corpus_id, jaccard).
+    The corpus is never self-joined and never re-shingled."""
+    sh_new = minhash_sketch(arrivals, id_col, text_col, k)
+    bands_new = minhash_band_keys(sh_new)
+    bands_corpus = minhash_band_keys(stored_sketch)
+    cand = (
+        bands_new.withColumnsRenamed({"id": "id_a"})
+        .join(bands_corpus.withColumnsRenamed({"id": "id_b"}), ["band_idx", "band_key"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    rows = sh_new.unionByName(stored_sketch)
+    return jaccard_verify(cand, rows, threshold, on="h60").select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
+    )

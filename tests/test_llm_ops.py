@@ -247,3 +247,64 @@ def test_multi_probe_lsh_improves_recall(spark):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single
     assert r_multi >= 0.5
+
+
+def test_incremental_neardup_against_stored_sketch(spark, tmp_path):
+    """The stored-sketch incremental path must reproduce exactly what a
+    from-scratch asymmetric check computes: write the corpus sketch,
+    read it back, and check a mutated-arrival batch against it."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        incremental_neardup_against,
+        minhash_band_keys,
+        minhash_sketch,
+        jaccard_verify,
+        read_sketch_table,
+        write_sketch_table,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    arrivals = corpus.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"),
+    )
+
+    path = str(tmp_path / "corpus_sketch")
+    write_sketch_table(minhash_sketch(corpus, "doc_id", "text", 3), path)
+    stored = read_sketch_table(spark, path)
+
+    got = sorted(
+        map(
+            tuple,
+            incremental_neardup_against(arrivals, stored).collect(),
+        )
+    )
+
+    # from-scratch reference: same math, sketch not round-tripped
+    sh_corpus = minhash_sketch(corpus, "doc_id", "text", 3)
+    sh_new = minhash_sketch(arrivals, "doc_id", "text", 3)
+    cand = (
+        minhash_band_keys(sh_new)
+        .withColumnsRenamed({"id": "id_a"})
+        .join(
+            minhash_band_keys(sh_corpus).withColumnsRenamed({"id": "id_b"}),
+            ["band_idx", "band_key"],
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    want = sorted(
+        map(
+            tuple,
+            jaccard_verify(cand, sh_new.unionByName(sh_corpus), 0.5, on="h60")
+            .select(
+                F.col("id_a").alias("new_id"),
+                F.col("id_b").alias("corpus_id"),
+                "jaccard",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0  # every arrival is a near-dup of its source doc
