@@ -87,3 +87,41 @@ def test_streamed_download(server, tmp_path):
     assert os.path.getsize(dest) == 1 << 21
     with pytest.raises(CatalogError, match="404"):
         download_resource(server + "/nope", str(tmp_path / "x"))
+
+
+def test_ckan_spark_datasource(server, spark):
+    """spark.read.format('ckan'): one partition per package, stable
+    schema, prefix filter applied executor-side."""
+    from gov_ec_pipeline_etl_spark.sources.spark_datasource import (
+        CkanDataSource,
+        SCHEMA,
+    )
+
+    spark.dataSource.register(CkanDataSource)
+    df = (
+        spark.read.format("ckan")
+        .option("base_url", server)
+        .option("packages", "pkg-a,pkg-b")
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<package_id:string,resource_id:string,name:string,"
+        "url:string,format:string,last_modified:string,size:bigint>"
+    )
+    rows = sorted(map(tuple, df.collect()))
+    # 2 packages × 2 resources each, tagged with their package id
+    assert len(rows) == 4
+    assert {r[0] for r in rows} == {"pkg-a", "pkg-b"}
+    assert {r[1] for r in rows} == {"r1", "r2"}
+    # the scan fans out one partition per package
+    assert df.rdd.getNumPartitions() == 2
+
+    filtered = (
+        spark.read.format("ckan")
+        .option("base_url", server)
+        .option("packages", "pkg-a")
+        .option("prefix", "detenciones")
+        .load()
+        .collect()
+    )
+    assert [r.resource_id for r in filtered] == ["r1"]
