@@ -125,3 +125,104 @@ def test_ckan_spark_datasource(server, spark):
         .collect()
     )
     assert [r.resource_id for r in filtered] == ["r1"]
+
+
+MUTABLE_PACKAGE = {
+    "success": True,
+    "result": {
+        "resources": [
+            {"id": "r1", "name": "datos a", "url": "/f1",
+             "last_modified": "2026-01-01T00:00:00", "size": 10, "format": "CSV"},
+            {"id": "r2", "name": "datos b", "url": "/f2",
+             "last_modified": "2026-01-02T00:00:00", "size": 20, "format": "CSV"},
+        ]
+    },
+}
+
+
+class MutableHandler(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802
+        if self.path.startswith("/api/3/action/package_show"):
+            body = json.dumps(MUTABLE_PACKAGE).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def log_message(self, *a):  # noqa: D102
+        pass
+
+
+def test_ckan_changes_stream(spark, tmp_path):
+    """readStream.format('ckan-changes'): batch 1 emits everything as
+    'new'; after a catalog mutation, a checkpoint-resumed run emits ONLY
+    the changed resource with its change reason — the reference's
+    fingerprint-diff incremental model riding on streaming offsets."""
+    from gov_ec_pipeline_etl_spark.sources.spark_datasource import (
+        CkanChangesDataSource,
+    )
+
+    httpd = HTTPServer(("127.0.0.1", 0), MutableHandler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        spark.dataSource.register(CkanChangesDataSource)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        seen: set = set()
+
+        def run_round(_label: str):
+            # parquet sink: the fault-tolerant pairing for a resumable
+            # checkpoint (memory sink refuses recovery); each round's
+            # delta is whatever appeared in the output since last time.
+            q = (
+                spark.readStream.format("ckan-changes")
+                .option("base_url", url)
+                .option("package_id", "pkg")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            rows = {
+                (r.resource_id, r.change, r.size): r
+                for r in spark.read.parquet(out).collect()
+            }
+            delta = {k[:2]: v for k, v in rows.items() if k not in seen}
+            seen.update(rows)
+            return delta
+
+        first = run_round("ckan_changes_1")
+        assert set(first) == {("r1", "new"), ("r2", "new")}
+        assert first[("r1", "new")].size == 10
+        # normalize_dt applied: naive timestamp rendered as UTC Z-form
+        assert first[("r1", "new")].last_modified == "2026-01-01T00:00:00Z"
+
+        # mutate the catalog: r1 grows, r3 appears
+        MUTABLE_PACKAGE["result"]["resources"][0]["size"] = 99
+        MUTABLE_PACKAGE["result"]["resources"][0]["last_modified"] = (
+            "2026-02-01T00:00:00"
+        )
+        MUTABLE_PACKAGE["result"]["resources"].append(
+            {"id": "r3", "name": "datos c", "url": "/f3",
+             "last_modified": "2026-02-02T00:00:00", "size": 30, "format": "CSV"}
+        )
+
+        second = run_round("ckan_changes_2")
+        # resumed from checkpoint: ONLY the delta, with field-level reasons
+        assert set(second) == {("r1", "last_modified,size"), ("r3", "new")}
+        assert second[("r1", "last_modified,size")].size == 99
+
+        # a third run with nothing changed emits nothing
+        third = run_round("ckan_changes_3")
+        assert third == {}
+    finally:
+        httpd.shutdown()
