@@ -1165,3 +1165,46 @@ def u13_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(exact_kept, "after_exact"))
         .unionByName(stage(near_kept, "after_near"))
     )
+
+
+@register(
+    "w01_training_shuffle",
+    oracle=f"""
+        WITH h AS (
+          SELECT doc_id, source,
+                 {portable_hash64_sql("CAST(doc_id AS VARCHAR)", 13)} AS hkey
+          FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(hkey % 16 AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY hkey % 16 ORDER BY hkey, doc_id
+               ) AS BIGINT) AS pos
+        FROM h
+    """,
+    doc="Training-order shuffle + shard assignment: the data-loader "
+    "prep step that turns a curated corpus into N shards, each in a "
+    "deterministic pseudo-random order (seeded portable hash; re-seed "
+    "to re-shuffle between epochs). Window partitions BY SHARD, so "
+    "every shard sorts independently in parallel — no global "
+    "single-partition sort ever materializes, which is what makes the "
+    "shape valid at 100 TB (1 shuffle: hash-partition by shard).",
+    tags=("sampling", "llm-pipeline", "window"),
+)
+def w01_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    h = docs.withColumn(
+        "hkey", portable_hash64(F.col("doc_id").cast("string"), 13)
+    )
+    shard = (F.col("hkey") % 16).cast("int")
+    w = Window.partitionBy(F.col("hkey") % 16).orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        "source",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
