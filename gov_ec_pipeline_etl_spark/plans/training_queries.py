@@ -985,11 +985,16 @@ def u12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
         F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"),
     )
-    # corpus sketch/bands: computed once, reusable across batches (at
-    # scale these are stored tables, not recomputed per batch)
-    sh_corpus = minhash_sketch(docs, "doc_id", "text", 3)
+    # One shingle+sketch pass over corpus∪arrivals (ids are disjoint by
+    # construction), split by id range afterwards: halves the sketch
+    # barriers and scans vs sketching each side separately. In the
+    # stored-sketch deployment shape the corpus side is instead read
+    # back from disk — see operators.dedup_fuzzy.incremental_neardup_
+    # against, which this query's band join mirrors asymmetrically.
+    sh_all = minhash_sketch(docs.unionByName(arrivals), "doc_id", "text", 3)
+    sh_new = sh_all.where(F.col("id") >= MUT_OFFSET)
+    sh_corpus = sh_all.where(F.col("id") < MUT_OFFSET)
     bands_corpus = minhash_band_keys(sh_corpus)
-    sh_new = minhash_sketch(arrivals, "doc_id", "text", 3)
     bands_new = minhash_band_keys(sh_new)
 
     cand = (
@@ -1001,8 +1006,7 @@ def u12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    rows = sh_new.unionByName(sh_corpus)
-    return jaccard_verify(cand, rows, 0.5, on="h60").select(
+    return jaccard_verify(cand, sh_all, 0.5, on="h60").select(
         F.col("id_a").alias("new_id"),
         F.col("id_b").alias("corpus_id"),
         "jaccard",
