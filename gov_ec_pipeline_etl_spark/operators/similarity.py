@@ -227,3 +227,75 @@ def cosine_near_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 3).alias("cos_r"))
     )
+
+
+def build_ivf_index(
+    vecs: DataFrame, cents: DataFrame, dim: int, path: str
+) -> None:
+    """Materialize an IVF index as a parquet table PARTITIONED BY
+    centroid id.
+
+    ``vecs``: (vec_id, v array<double>); ``cents``: (cent_id, cv).
+    Each vector is assigned to its nearest centroid (cosine argmax,
+    low-id tie-break — the same deterministic rule u06 oracles), and the
+    assignment table is written partitioned by ``cent_id``: the
+    partition layout IS the inverted file. A search probing nprobe
+    centroids touches nprobe partition directories and nothing else —
+    partition pruning does the inverted-list seek, no row-level index
+    structure needed. Build is one broadcast join + argmax, O(N·K)."""
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", cosine("v", "cv", dim).alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cos"), -F.col("cent_id"))
+            ).alias("cent_id"),
+            F.first("v").alias("v"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+
+
+def ivf_search_against(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine search against a STORED IVF index (build_ivf_index).
+
+    Per query: rank centroids (broadcast, tiny), keep the nprobe
+    nearest, then join the probe set against the index ON THE PARTITION
+    COLUMN — with the probe side broadcast, dynamic partition pruning
+    reduces the index scan to the probed partitions. Rerank is exact
+    cosine within those blocks: per-query work is
+    O(corpus/K · nprobe), never O(corpus)."""
+    index = spark.read.parquet(index_path)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", cosine("qv", "cv", dim).alias("cos"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    cand = index.join(F.broadcast(probes), "cent_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("cos_q", cosine("v", "qv", dim))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), F.col("rnk")
+        )
+    )

@@ -308,3 +308,42 @@ def test_incremental_neardup_against_stored_sketch(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 0  # every arrival is a near-dup of its source doc
+
+
+def test_ivf_stored_index_matches_inline_search(spark, tmp_path):
+    """build_ivf_index + ivf_search_against must reproduce u06's inline
+    IVF search exactly (same centroids, nprobe, k, tie-breaks), and the
+    index scan must be partition-pruned down to the probed centroids."""
+    from gov_ec_pipeline_etl_spark.operators.similarity import (
+        as_double,
+        build_ivf_index,
+        ivf_search_against,
+        vec_dim,
+    )
+    from gov_ec_pipeline_etl_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = vec_dim(emb, "embedding")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = vecs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    queries = vecs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(vecs, cents, dim, path)
+    result = ivf_search_against(spark, path, queries, cents, dim, nprobe=2, k=5)
+
+    got = sorted(map(tuple, result.collect()))
+    want = sorted(
+        map(tuple, all_queries()["u06_ivf_topk"].spark(spark, sf).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # the inverted-file property: the scan of the index is pruned by a
+    # dynamic partition-pruning subquery on cent_id (never a full scan)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1200]
