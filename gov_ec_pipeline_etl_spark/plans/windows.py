@@ -227,3 +227,47 @@ def x33_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.count(F.lit(1)).over(w).alias("n_last_10min")
     )
+
+
+@register(
+    "w02_distribution_windows",
+    oracle="""
+        WITH spend AS (
+          SELECT c_mktsegment, o_custkey,
+                 ROUND(SUM(o_totalprice), 2) AS spend
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, o_custkey
+        )
+        SELECT c_mktsegment, o_custkey, spend,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM spend
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, o_custkey)
+    """,
+    doc="Distribution window functions (the last uncovered window "
+    "surface): per-segment customer-spend quartiles via ntile, "
+    "percent_rank and cume_dist over a deterministic total order "
+    "(rounded spend, custkey tie-break). One shuffle for the agg; the "
+    "window reuses the segment partitioning. w-tier name: outside the "
+    "driver's 50-slot recording window (registry docstring).",
+    tags=("window", "agg"),
+)
+def w02_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend", "o_custkey")
+    return spend.select(
+        "c_mktsegment",
+        "o_custkey",
+        "spend",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
