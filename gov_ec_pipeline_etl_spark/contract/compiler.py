@@ -229,6 +229,25 @@ class ContractPipeline:
             aggs["key_null_rows"] = F.sum(F.when(null_any, 1).otherwise(0))
         return aggs
 
+    def attach_observed_metrics(self, df: DataFrame):
+        """Single-pass variant of the validation aggregate.
+
+        Attaches the same expressions ``_agg_exprs`` builds (critical /
+        any-of / recommended non-null counts, key-null rows, pre-dedup
+        row count) as a Spark ``Observation``, so the metrics are
+        collected DURING the next action over ``df`` — e.g. the staging
+        write — instead of costing a separate full execution of the
+        lineage. At 100 TB the eager ``apply()`` protocol re-executes
+        the pipeline per metrics pass; this rides the write for free.
+        Returns ``(observed_df, observation)``; read
+        ``observation.get`` after any action has consumed the frame.
+        """
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        aggs = self._agg_exprs(df)
+        return df.observe(obs, *[v.alias(k) for k, v in aggs.items()]), obs
+
     # --- end-to-end ------------------------------------------------------
 
     def apply(self, df: DataFrame, fail_fast: bool = True) -> TransformResult:

@@ -178,3 +178,34 @@ def test_uuid5_surrogate_method(spark):
     row = pipe.apply(df).df.first()
     assert row.business_key == "x|y"
     assert row.surrogate_id == uuid5_py("t_uuid", "x|y")
+
+
+def test_observed_metrics_single_pass(spark, pipeline):
+    """attach_observed_metrics: the validation aggregate collected
+    DURING a write action must equal the eager agg over the same frame
+    — the 100 TB path where metrics ride the staging write instead of
+    re-executing the lineage."""
+    import pyspark.sql.functions as F
+
+    df = _clean_df(spark)
+    df = pipeline.normalize(df)
+    df = pipeline.coerce(df)
+    df = pipeline.derive(df)
+    df = pipeline.apply_rules(df)
+    df = pipeline.add_keys(df)
+
+    eager = {
+        k: v
+        for k, v in df.agg(
+            *[v.alias(k) for k, v in pipeline._agg_exprs(df).items()]
+        )
+        .first()
+        .asDict()
+        .items()
+    }
+
+    observed_df, obs = pipeline.attach_observed_metrics(df)
+    # one action — the kind of write the pipeline performs anyway
+    observed_df.write.format("noop").mode("overwrite").save()
+    assert obs.get == eager
+    assert eager["rows_out"] == 3  # sanity: metrics are real
