@@ -271,6 +271,7 @@ def x42_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x43_returned_items",
+    bench=True,
     oracle="""
         SELECT c_custkey, c_name,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
