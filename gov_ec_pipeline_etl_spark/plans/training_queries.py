@@ -1212,3 +1212,45 @@ def w01_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@register(
+    "w03_zscore_normalize",
+    oracle="""
+        WITH stats AS (
+          SELECT lang, source,
+                 AVG(n_chars) AS mu,
+                 STDDEV_SAMP(n_chars) AS sigma,
+                 COUNT(*) AS n
+          FROM documents
+          GROUP BY lang, source
+        )
+        SELECT d.doc_id, d.lang, d.source,
+               CASE WHEN s.n < 2 OR s.sigma = 0 THEN NULL
+                    ELSE ROUND((d.n_chars - s.mu) / s.sigma, 4) END AS z_len
+        FROM documents d
+        JOIN stats s ON d.lang = s.lang AND d.source = s.source
+    """,
+    doc="Per-(lang, source) z-score standardization of document length "
+    "— the feature-normalization step quality filters threshold on. "
+    "Group stats come from one aggregate; the join back broadcasts the "
+    "tiny stats side, so the corpus is scanned twice and shuffled never "
+    "(stats agg is partial+final). Degenerate groups (n<2 or zero "
+    "variance) yield null rather than a division blowup — mirrored in "
+    "the oracle.",
+    tags=("textstats", "agg", "llm-pipeline"),
+)
+def w03_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    stats = docs.groupBy("lang", "source").agg(
+        F.avg("n_chars").alias("mu"),
+        F.stddev_samp("n_chars").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = docs.join(F.broadcast(stats), ["lang", "source"])
+    z = F.when(
+        (F.col("n") < 2) | (F.col("sigma") == 0), F.lit(None)
+    ).otherwise(F.round((F.col("n_chars") - F.col("mu")) / F.col("sigma"), 4))
+    return joined.select("doc_id", "lang", "source", z.alias("z_len"))
