@@ -629,3 +629,94 @@ def test_merge_paths_converge_property(spark, tmp_path):
         assert got_scoped == got_full == expect
 
     run()
+
+
+def test_ckan_datasource_feeds_etl_end_to_end(spark, tmp_path):
+    """Catalog-to-table through the Spark-native source: the ckan
+    DataSource scans the catalog, resources download over HTTP, and
+    run_etl ingests them — the reference's full extract path with the
+    catalog step as a declarative Spark scan."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from gov_ec_pipeline_etl_spark.etl_pipeline import run_etl
+    from gov_ec_pipeline_etl_spark.sources.catalog import download_resource
+    from gov_ec_pipeline_etl_spark.sources.spark_datasource import CkanDataSource
+
+    csv_body = (
+        "Código ICCS,Fecha Detención Aprehensión,Presunta Infracción,"
+        "Nombre Provincia,Código Provincia,Código Cantón\n"
+        "0101,2024-01-01,ROBO,Azuay,01,0101\n"
+        "0102,2024-01-02,HURTO,Guayas,09,0901\n"
+    ).encode("utf-8")
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path.startswith("/api/3/action/package_show"):
+                pkg = {
+                    "success": True,
+                    "result": {
+                        "resources": [
+                            {
+                                "id": "detenciones_2024",
+                                "name": "Detenciones 2024",
+                                "url": f"http://127.0.0.1:{self.server.server_port}/data.csv",
+                                "format": "CSV",
+                                "last_modified": "2025-01-01T00:00:00",
+                                "size": len(csv_body),
+                            }
+                        ]
+                    },
+                }
+                body = _json.dumps(pkg).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/data.csv":
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(csv_body)))
+                self.end_headers()
+                self.wfile.write(csv_body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    httpd = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        spark.dataSource.register(CkanDataSource)
+        catalog = (
+            spark.read.format("ckan")
+            .option("base_url", f"http://127.0.0.1:{httpd.server_port}")
+            .option("package_id", "pkg")
+            .load()
+            .collect()
+        )
+        resources = []
+        for r in catalog:
+            dest = str(tmp_path / f"{r.resource_id}.csv")
+            n = download_resource(r.url, dest)
+            assert n == len(csv_body)
+            resources.append(
+                {
+                    "id": r.resource_id,
+                    "path": dest,
+                    "last_modified": r.last_modified,
+                    "size": r.size,
+                    "url": r.url,
+                    "format": r.format,
+                }
+            )
+        cfg = os.path.join(
+            os.path.dirname(__file__), "..", "configs", "detenidos.yaml"
+        )
+        out = run_etl(spark, cfg, resources, str(tmp_path / "work"))
+        assert out.status == "ok"
+        assert out.reports["detenciones_2024"]["rows_out"] == 2
+    finally:
+        httpd.shutdown()
