@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
     po.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     po.add_argument("names", nargs="*")
 
+    # reference get_status {object|compose}: pull any object over HTTP
+    # with the retrying session and an atomic tmp-write (get_status.py:
+    # 39-60 — download_object + tmp + rename)
+    pl = sub.add_parser("pull", help="download an object (retry + atomic write)")
+    pl.add_argument("url")
+    pl.add_argument("dest")
+
     args = p.parse_args(argv)
 
     if args.cmd == "state":
@@ -78,6 +85,17 @@ def main(argv: list[str] | None = None) -> int:
                 sort_keys=True,
             )
         )
+        return 0
+
+    if args.cmd == "pull":
+        import os
+
+        from gov_ec_pipeline_etl_spark.sources.catalog import download_resource
+
+        tmp = args.dest + ".tmp"
+        n = download_resource(args.url, tmp)
+        os.replace(tmp, args.dest)  # atomic promote, never a torn file
+        print(json.dumps({"dest": args.dest, "bytes": n}))
         return 0
 
     if args.cmd == "run":

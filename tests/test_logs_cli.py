@@ -50,3 +50,38 @@ def test_cli_state_roundtrip(tmp_path, capsys):
     assert diff["unchanged"] == ["r1"]
     assert set(diff["to_process"]) == {"r2", "r3"}
     assert diff["reasons"] == {"r2": ["size"], "r3": ["new"]}
+
+
+def test_cli_pull_atomic(tmp_path):
+    """`pull` downloads with the retrying session and promotes via
+    tmp+rename (reference get_status object/compose semantics)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from gov_ec_pipeline_etl_spark.cli import main
+
+    blob = b"y" * 4096
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        dest = str(tmp_path / "obj.bin")
+        rc = main(
+            ["pull", f"http://127.0.0.1:{httpd.server_port}/obj", dest]
+        )
+        assert rc == 0
+        assert open(dest, "rb").read() == blob
+        assert not (tmp_path / "obj.bin.tmp").exists()
+    finally:
+        httpd.shutdown()
