@@ -31,8 +31,16 @@ def as_double(vec: Column) -> Column:
 
 
 def vec_dim(df: DataFrame, vec_col: str) -> int:
-    """Embedding dimensionality, read from one row (tiny driver job)."""
-    return int(df.select(F.size(vec_col)).first()[0])
+    """Embedding dimensionality, read from one row (tiny driver job).
+
+    Empty input (a filtered-to-empty view is routine at scale) returns
+    1: every kernel built from the dim then evaluates over zero rows,
+    so the value is immaterial — queries yield their correct empty
+    result instead of crashing on the missing first row."""
+    row = df.select(F.size(vec_col)).first()
+    if row is None or row[0] is None:
+        return 1
+    return int(row[0])
 
 
 def _dot_sql(a: str, b: str, dim: int) -> str:

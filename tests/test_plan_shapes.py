@@ -81,3 +81,29 @@ def test_tpch_dims_broadcast(spark):
     plan = _plan(spark, "x43_returned_items")
     assert "SortMergeJoin" not in plan, plan[:800]
     assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+
+
+def test_queries_survive_empty_tables(spark, tmp_path):
+    """A filtered-to-empty input is routine at scale: a representative
+    query per tier must return its empty result, not crash (guards
+    vec_dim's missing-first-row path among others)."""
+    import os
+
+    from gov_ec_pipeline_etl_spark.tables import TABLES, read_table
+
+    empty_dir = str(tmp_path / "empty_sf")
+    for t in TABLES:
+        read_table(spark, SF_SMOKE, t).limit(0).write.mode("overwrite").parquet(
+            os.path.join(empty_dir, f"{t}.parquet")
+        )
+    qs = all_queries()
+    for name in [
+        "q01_pricing_summary",
+        "d02_minhash_lsh",
+        "s01_cosine_topk",
+        "s02_embedding_neardup",
+        "u06_ivf_topk",
+        "w03_zscore_normalize",
+        "x43_returned_items",
+    ]:
+        assert qs[name].spark(spark, empty_dir).count() == 0, name
