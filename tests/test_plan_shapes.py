@@ -107,3 +107,40 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         "x43_returned_items",
     ]:
         assert qs[name].spark(spark, empty_dir).count() == 0, name
+
+
+def test_text_queries_survive_degenerate_docs(spark, tmp_path):
+    """Null, empty, and whitespace-only document text must flow through
+    the text/dedup tiers without crashing (routine at corpus scale)."""
+    import os
+
+    from gov_ec_pipeline_etl_spark.tables import TABLES, read_table
+
+    d = str(tmp_path / "degenerate_sf")
+    for t in TABLES:
+        df = read_table(spark, SF_SMOKE, t)
+        if t == "documents":
+            norm = df.limit(3)
+            weird = spark.createDataFrame(
+                [
+                    (90001, None, "en", "web", 0),
+                    (90002, "", "en", "web", 0),
+                    (90003, "   ", "en", "web", 3),
+                ],
+                norm.schema,
+            )
+            df = norm.unionByName(weird)
+        df.write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+    qs = all_queries()
+    for name in [
+        "t01_token_counts",
+        "t02_quality_score",
+        "t04_fingerprint",
+        "d01_exact_dedup",
+        "d02_minhash_lsh",
+        "d04_ngram_jaccard",
+        "w01_training_shuffle",
+        "w03_zscore_normalize",
+    ]:
+        # no crash; the 3 real docs (at least) survive every tier
+        assert qs[name].spark(spark, d).count() >= 3, name
