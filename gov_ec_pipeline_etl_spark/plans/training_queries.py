@@ -1254,3 +1254,51 @@ def w03_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") < 2) | (F.col("sigma") == 0), F.lit(None)
     ).otherwise(F.round((F.col("n_chars") - F.col("mu")) / F.col("sigma"), 4))
     return joined.select("doc_id", "lang", "source", z.alias("z_len"))
+
+
+@register(
+    "w04_intradoc_dedup",
+    oracle="""
+        WITH corpus AS (
+          SELECT doc_id, text || '. ' || text AS text FROM documents
+        ),
+        segs AS (
+          SELECT doc_id, l[i] AS seg, i
+          FROM (SELECT doc_id, string_split(text, '. ') AS l FROM corpus),
+               UNNEST(range(1, len(l) + 1)) AS t(i)
+        ),
+        firsts AS (
+          SELECT doc_id, seg, MIN(i) AS first_ord
+          FROM segs GROUP BY doc_id, seg
+        )
+        SELECT doc_id,
+               string_agg(seg, '. ' ORDER BY first_ord) AS clean_text
+        FROM firsts GROUP BY doc_id
+    """,
+    doc="Intra-document segment dedup (boilerplate removal): each "
+    "document's repeated '. '-separated segments are dropped, keeping "
+    "the FIRST occurrence in original order. Repetition is planted by "
+    "doubling every document, so the cleaned text must equal the "
+    "original — a self-checking property on top of the oracle. "
+    "posexplode + min(pos) + ordered reassembly: per-document work, "
+    "one shuffle on doc_id, no cross-document interaction — "
+    "embarrassingly parallel at corpus scale.",
+    tags=("text", "dedup", "llm-pipeline"),
+)
+def w04_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.concat("text", F.lit(". "), "text").alias("text")
+    )
+    segs = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\\. ")).alias("pos", "seg")
+    )
+    firsts = segs.groupBy("doc_id", "seg").agg(
+        (F.min("pos") + 1).alias("first_ord")  # 1-based like the oracle
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("first_ord", "seg"))),
+        lambda x: x.seg,
+    )
+    return firsts.groupBy("doc_id").agg(
+        F.array_join(ordered, ". ").alias("clean_text")
+    )
