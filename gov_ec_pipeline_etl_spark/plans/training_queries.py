@@ -1302,3 +1302,48 @@ def w04_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.groupBy("doc_id").agg(
         F.array_join(ordered, ". ").alias("clean_text")
     )
+
+
+@register(
+    "w05_token_chunking",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, toks, s
+          FROM t, UNNEST(range(0, len(toks), 48)) AS u(s)
+        )
+        SELECT doc_id,
+               CAST(s / 48 AS INTEGER) AS chunk_idx,
+               array_to_string(toks[s+1:s+64], ' ') AS chunk_text,
+               CAST(len(toks[s+1:s+64]) AS BIGINT) AS n_tokens
+        FROM starts
+    """,
+    doc="Fixed-size token chunking with overlap (chunk 64, stride 48 — "
+    "16-token overlap): the RAG / pretraining chunker that windows each "
+    "document into model-sized pieces. sequence+explode generates the "
+    "stride starts, slice cuts each window — all built-in array "
+    "expressions, per-document work, no shuffle before the explode and "
+    "none after (chunks stay with their scan partition).",
+    tags=("text", "llm-pipeline"),
+)
+def w05_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toksed = docs.select(
+        "doc_id", F.split("text", r"\s+").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    starts = toksed.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(48))
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("s") / 48).cast("int").alias("chunk_idx"),
+        F.array_join(F.slice("toks", F.col("s") + 1, 64), " ").alias("chunk_text"),
+        F.size(F.slice("toks", F.col("s") + 1, 64)).cast("bigint").alias("n_tokens"),
+    )
