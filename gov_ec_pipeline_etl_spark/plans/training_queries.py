@@ -1347,3 +1347,77 @@ def w05_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("toks", F.col("s") + 1, 64), " ").alias("chunk_text"),
         F.size(F.slice("toks", F.col("s") + 1, 64)).cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "w06_countmin_heavyhitters",
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+          FROM documents
+        ),
+        exact AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+          FROM toks GROUP BY token
+        ),
+        top20 AS (
+          SELECT token, exact_n FROM exact
+          ORDER BY exact_n DESC, token LIMIT 20
+        ),
+        seeded AS (
+          SELECT token, s,
+                 {portable_hash64_sql("token", 0)} * (s + 1) % 1024 AS bucket
+          FROM toks, UNNEST(range(0, 4)) AS u(s)
+        ),
+        cm AS (
+          SELECT s, bucket, CAST(COUNT(*) AS BIGINT) AS bucket_n
+          FROM seeded GROUP BY s, bucket
+        ),
+        probes AS (
+          SELECT t.token, t.exact_n, u.s,
+                 {portable_hash64_sql("t.token", 0)} * (u.s + 1) % 1024 AS bucket
+          FROM top20 t, UNNEST(range(0, 4)) AS u(s)
+        )
+        SELECT p.token, p.exact_n, MIN(c.bucket_n) AS cm_estimate,
+               MIN(c.bucket_n) >= p.exact_n AS never_underestimates
+        FROM probes p JOIN cm c ON c.s = p.s AND c.bucket = p.bucket
+        GROUP BY p.token, p.exact_n
+    """,
+    doc="Count-Min sketch heavy hitters: token frequencies estimated "
+    "from a 4x1024 counter grid (seeded portable hash family), probed "
+    "for the exact top-20 tokens. The one-sided error guarantee "
+    "(estimate >= truth, equal absent collisions) is emitted as an "
+    "oracle-checked boolean per row. The sketch is a fixed-size "
+    "aggregate — at 100 TB the counter grid is the only state that "
+    "crosses the wire (4096 longs), the classic bounded-memory "
+    "frequency structure; here both grid and probe are exact SQL so "
+    "the approximation itself is hash-verified cross-engine.",
+    tags=("sketch", "agg", "llm-pipeline"),
+)
+def w06_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64
+
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top20 = exact.orderBy(F.col("exact_n").desc(), F.col("token")).limit(20)
+
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s")
+    h = portable_hash64(F.col("token"), 0)
+    bucket = (h * (F.col("s") + 1) % 1024).alias("bucket")
+    seeded = toks.select("token", seeds).select("token", "s", bucket)
+    cm = seeded.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+
+    probes = top20.select("token", "exact_n", seeds).select(
+        "token", "exact_n", "s", bucket
+    )
+    return (
+        probes.join(F.broadcast(cm), ["s", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(
+            F.min("bucket_n").alias("cm_estimate"),
+            (F.min("bucket_n") >= F.first("exact_n")).alias("never_underestimates"),
+        )
+    )
