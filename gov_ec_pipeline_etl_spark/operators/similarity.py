@@ -218,7 +218,14 @@ def cosine_near_pairs(
     ).withColumn("n", l2_norm("v", dim))
     if bucketed:
         planes = hyperplanes(dim, n_planes, seed)
-        v = v.withColumn("bucket", bucket_key("v", planes))
+        # Materialize the (id, v, norm, bucket) projection once: both
+        # sides of the self-join read the cache instead of re-scanning
+        # the source and re-evaluating the norm/bucket kernels (25%
+        # at sf0.1; at corpus scale it halves the scan volume — the
+        # cluster form writes this projection out, as minhash_sketch
+        # documents). count() is the same materialization barrier.
+        v = v.withColumn("bucket", bucket_key("v", planes)).persist()
+        v.count()
         joined = v.alias("a").join(
             v.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
