@@ -41,7 +41,7 @@ from gov_ec_pipeline_etl_spark.plans.util import T
           FROM lineitem GROUP BY l_partkey, l_suppkey
         )
         SELECT ROUND(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey,
-               ROUND(sup.unit_cost, 4) AS unit_cost
+               FLOOR(sup.unit_cost * 10000) / 10000 AS unit_cost
         FROM supply sup
         JOIN part     ON p_partkey = sup.l_partkey
         JOIN supplier ON s_suppkey = sup.l_suppkey
@@ -61,7 +61,10 @@ from gov_ec_pipeline_etl_spark.plans.util import T
     "derived part-supplier relation, expressed as a window min over the "
     "region-restricted supply — one shuffle for the supply agg, the "
     "per-part min reuses its partitioning; all dims broadcast. Float-safe: "
-    "MIN of identical IEEE divisions, no sum-order sensitivity.",
+    "MIN of identical IEEE divisions; the output quantizes via floor of "
+    "the scaled double (cents/qty divisions land exactly on .xxxx5 "
+    "boundaries where Spark's decimal-string ROUND and DuckDB's binary "
+    "ROUND disagree — floor of the identical double cannot).",
     tags=("join", "subquery", "window", "tpch"),
 )
 def x39_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +93,7 @@ def x39_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             "p_partkey",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            (F.floor(F.col("unit_cost") * 10000) / 10000).alias("unit_cost"),
         )
     )
 

@@ -710,7 +710,8 @@ _BAR_US = 6 * 3600 * 1_000_000  # 6-hour bars
         bars AS (
           SELECT event_type, (us // {_BAR_US}) * {_BAR_US} AS bar_start_us,
                  CAST(COUNT(*) AS BIGINT) AS n_events,
-                 ROUND(AVG(value), 6) AS avg_value
+                 FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*) * 1000000) / 1000000 AS avg_value
           FROM ev GROUP BY 1, 2
         )
         SELECT g.event_type,
@@ -744,7 +745,17 @@ def u09_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", bar.alias("bar_start_us"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # order-independent: decimal sum is exact, the cast double is
+            # then bit-identical cross-engine, and floor-quantization of
+            # an identical double cannot diverge (ROUND can, at exact .5)
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1_000_000
+                )
+                / 1_000_000
+            ).alias("avg_value"),
         )
     )
     bounds = ev.agg(
