@@ -93,7 +93,14 @@ def main(argv: list[str] | None = None) -> int:
         from gov_ec_pipeline_etl_spark.sources.catalog import download_resource
 
         tmp = args.dest + ".tmp"
-        n = download_resource(args.url, tmp)
+        try:
+            n = download_resource(args.url, tmp)
+        except BaseException:
+            # the atomic-promote contract covers success only; a failed
+            # pull must not litter the destination with .tmp partials
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
         os.replace(tmp, args.dest)  # atomic promote, never a torn file
         print(json.dumps({"dest": args.dest, "bytes": n}))
         return 0

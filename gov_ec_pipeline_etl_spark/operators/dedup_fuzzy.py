@@ -143,7 +143,11 @@ def minhash_sketch(
     Materialized before fan-out because a lazily-persisted table
     consumed by concurrent stages of one job gets racily recomputed per
     branch (measured ~3 s extra at sf0.1) — one count() is the cache
-    barrier (cluster equivalent: write the sketch table out once)."""
+    barrier (cluster equivalent: write the sketch table out once).
+
+    The returned frame stays cached until the caller unpersists it
+    (minhash_lsh_pairs does; other long-lived callers should unpersist
+    after their consuming action or ``spark.catalog.clearCache()``)."""
     sh = (
         shingle_rows(df, id_col, text_col, k)
         .select("id", hash64(F.col("s"), 0, portable).alias("h60"))

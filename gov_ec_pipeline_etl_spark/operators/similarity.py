@@ -36,9 +36,13 @@ def vec_dim(df: DataFrame, vec_col: str) -> int:
     Empty input (a filtered-to-empty view is routine at scale) returns
     1: every kernel built from the dim then evaluates over zero rows,
     so the value is immaterial — queries yield their correct empty
-    result instead of crashing on the missing first row."""
-    row = df.select(F.size(vec_col)).first()
-    if row is None or row[0] is None:
+    result instead of crashing on the missing first row.
+
+    Null vectors are filtered BEFORE sampling: a leading null row must
+    not shadow real vectors behind it (the sentinel would silently
+    truncate every kernel to element [0] and produce wrong cosines)."""
+    row = df.where(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
+    if row is None:
         return 1
     return int(row[0])
 
@@ -211,7 +215,14 @@ def cosine_near_pairs(
     bucketed: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold, id_a < id_b).
-    ``bucketed=False`` runs the exact quadratic variant (oracle mode)."""
+    ``bucketed=False`` runs the exact quadratic variant (oracle mode).
+
+    The bucketed variant persists an intermediate (id, v, norm, bucket)
+    projection that the returned DataFrame reads from; it stays cached
+    until released. Long-lived sessions issuing many calls should
+    unpersist after the consuming action via the handle attached to the
+    result (``result._persisted_inputs``) or ``spark.catalog.clearCache()``
+    — the bench/test harnesses already clear between queries."""
     dim = vec_dim(df, vec_col)
     v = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
@@ -233,7 +244,7 @@ def cosine_near_pairs(
         )
     else:
         joined = v.alias("a").join(v.alias("b"), F.col("a.id") < F.col("b.id"))
-    return (
+    out = (
         joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -242,6 +253,9 @@ def cosine_near_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 3).alias("cos_r"))
     )
+    if bucketed:
+        out._persisted_inputs = [v]  # caller may .unpersist() after consuming
+    return out
 
 
 def build_ivf_index(

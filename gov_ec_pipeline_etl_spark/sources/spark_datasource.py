@@ -171,16 +171,25 @@ class CkanChangesStreamReader(SimpleDataSourceStreamReader):
         state = dict(start.get("state", {}))
         new_state = dict(state)
         rows: list[tuple] = []
+        seen: set[str] = set()
         for pkg in self.package_ids:
             for r in fetch_package(self.base_url, pkg, prefix=self.prefix):
                 fp = fingerprint(r)
                 fp["package_id"] = pkg
                 fp["name"] = str(r.get("name") or "")
+                seen.add(fp["id"])
                 change = self._change(state.get(fp["id"]), fp)
                 if change:
                     fp["change"] = change
                     rows.append(self._row(fp))
                 new_state[fp["id"]] = {k: v for k, v in fp.items() if k != "change"}
+        # Resources that vanished from the catalog: emit a 'deleted'
+        # change row and expire them from the offset, so downstream
+        # learns of removals and the fingerprint map (= the offset) is
+        # bounded by the LIVE catalog size rather than growing forever.
+        for rid in list(new_state):
+            if rid not in seen:
+                rows.append(self._row({**new_state.pop(rid), "change": "deleted"}))
         return iter(rows), {"state": new_state}
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -190,6 +199,9 @@ class CkanChangesStreamReader(SimpleDataSourceStreamReader):
             change = self._change(s.get(rid), fp)
             if change:
                 rows.append(self._row({**fp, "change": change}))
+        for rid, fp in s.items():  # expired between offsets → replay 'deleted'
+            if rid not in e:
+                rows.append(self._row({**fp, "change": "deleted"}))
         return iter(rows)
 
     def commit(self, end: dict) -> None:

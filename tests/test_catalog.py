@@ -4,6 +4,7 @@ streamed download."""
 
 from __future__ import annotations
 
+import copy
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -127,7 +128,7 @@ def test_ckan_spark_datasource(server, spark):
     assert [r.resource_id for r in filtered] == ["r1"]
 
 
-MUTABLE_PACKAGE = {
+_PACKAGE_TEMPLATE = {
     "success": True,
     "result": {
         "resources": [
@@ -138,6 +139,9 @@ MUTABLE_PACKAGE = {
         ]
     },
 }
+# served dict, mutated by the stream test and RESTORED in its finally so
+# in-interpreter reruns always start from the pristine two-resource state
+MUTABLE_PACKAGE = copy.deepcopy(_PACKAGE_TEMPLATE)
 
 
 class MutableHandler(BaseHTTPRequestHandler):
@@ -224,5 +228,19 @@ def test_ckan_changes_stream(spark, tmp_path):
         # a third run with nothing changed emits nothing
         third = run_round("ckan_changes_3")
         assert third == {}
+
+        # r2 vanishes from the catalog: the stream emits a 'deleted'
+        # row and expires the id from the offset (bounded state)
+        del MUTABLE_PACKAGE["result"]["resources"][1]
+        fourth = run_round("ckan_changes_4")
+        assert set(fourth) == {("r2", "deleted")}
+
+        # and a fifth quiet round stays quiet (r2 truly expired — it
+        # does not re-report deleted each poll)
+        fifth = run_round("ckan_changes_5")
+        assert fifth == {}
     finally:
+        MUTABLE_PACKAGE["result"]["resources"][:] = copy.deepcopy(
+            _PACKAGE_TEMPLATE["result"]["resources"]
+        )
         httpd.shutdown()

@@ -347,3 +347,19 @@ def test_ivf_stored_index_matches_inline_search(spark, tmp_path):
     # dynamic partition-pruning subquery on cent_id (never a full scan)
     plan = result._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1200]
+
+
+def test_vec_dim_skips_leading_null_vectors(spark):
+    """A null vector in the first row must not shadow real vectors: the
+    dim comes from the first NON-NULL vector (ADVICE r3 — the sentinel-1
+    path would silently truncate every cosine kernel to element [0])."""
+    from gov_ec_pipeline_etl_spark.operators.similarity import vec_dim
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [0.1, 0.2, 0.3, 0.4])],
+        "vec_id int, embedding array<double>",
+    )
+    assert vec_dim(df, "embedding") == 4
+    # genuinely empty (or all-null) input still yields the harmless sentinel
+    assert vec_dim(df.where("vec_id < 0"), "embedding") == 1
+    assert vec_dim(df.where("vec_id = 1"), "embedding") == 1
