@@ -22,6 +22,35 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, "Query"] = {}
 
+# The 50 names the external driver records (first 50 alphabetically,
+# frozen as of CORRECTNESS_r03.json — all hash-green). Any NEW query
+# must sort after the window's last name so it cannot evict a recorded
+# row; register() enforces this so the discipline can't regress.
+DRIVER_WINDOW: frozenset[str] = frozenset(
+    [
+        "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
+        "d04_ngram_jaccard", "d05_containment", "d06_dup_clusters",
+        "d07_cross_modal", "m01_multimodal_decode",
+        "m02_apply_in_pandas_gaps", "m03_resize_frame_plan",
+        "q01_pricing_summary", "q03_shipping_priority",
+        "q04_order_priority", "q05_region_revenue", "q06_forecast_revenue",
+        "q14_range_join", "q20_topk_per_group", "q21b_approx_distinct",
+        "q25_asof_join", "r01_business_key_sha256", "r02_dedup_keep_latest",
+        "r03_category_standardize", "r04_numeric_bounds",
+        "r05_na_trim_normalize", "r06_year_derive", "r07_critical_checks",
+        "r08_surrogate_uuid5", "r09_extras_pack", "r10_contract_end_to_end",
+        "s01_cosine_topk", "s02_embedding_neardup", "s03_ann_lsh_topk",
+        "s04_centroid_assign", "s05_kmeans_step",
+        "st01_tumbling_window_stream", "st02_session_window",
+        "st03_streaming_dedup", "st04_stateful_counters",
+        "t01_token_counts", "t02_quality_score", "t03_lang_id",
+        "t04_fingerprint", "t05_text_search", "t06_vocab_stats",
+        "t07_scrub", "t08_repetition_stats", "t09_length_bands_per_lang",
+        "t10_tfidf_top_terms", "t11_hash_sample", "t12_sequence_packing",
+    ]
+)
+_WINDOW_END = max(DRIVER_WINDOW)
+
 # Modules that register queries on import. Kept explicit so a broken module
 # surfaces loudly instead of silently shrinking the surface.
 _QUERY_MODULES = [
@@ -75,6 +104,12 @@ def register(
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if name not in DRIVER_WINDOW and name <= _WINDOW_END:
+            raise ValueError(
+                f"query name {name!r} sorts inside the frozen driver "
+                f"recording window (≤ {_WINDOW_END!r}) and would evict a "
+                "recorded row — pick a name after the window (u/v/w/x/y*)"
+            )
         _REGISTRY[name] = Query(
             name=name, spark=fn, oracle=oracle, doc=doc, bench=bench, tags=tags
         )

@@ -37,6 +37,7 @@ finish its scan) and is deleted by the NEXT successful upsert.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import json
 import operator
@@ -48,6 +49,70 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_CURRENT"
+_LOCK = "_WRITER_LOCK"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Two writers raced on one target: the second either found the
+    advisory lock held by a live process, or (if the lock was broken)
+    the pointer moved between its read and its swap. The losing merge
+    fails CLEANLY — the table still holds exactly the winner's state,
+    never a silent last-writer-wins overwrite that drops a merge.
+    Retry the failed load; idempotency makes the retry safe."""
+
+
+@contextlib.contextmanager
+def _writer_lock(target_dir: str):
+    """Advisory exclusive writer lock (O_CREAT|O_EXCL lockfile holding
+    the owner pid). A lock whose owner pid is dead is broken and taken
+    over — a crashed writer must not wedge the table forever. pid
+    liveness is a same-host signal; on a shared filesystem the CAS
+    check in ``_swap_pointer`` is the authoritative guard (the
+    reference's own commit protocol is single-writer too; its 409
+    handling — load.py:534-603 — is the analogous race acknowledgment)."""
+    lock = os.path.join(target_dir, _LOCK)
+
+    def _try_acquire() -> int | None:
+        try:
+            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return None
+
+    fd = _try_acquire()
+    if fd is None:
+        try:
+            with open(lock, encoding="utf-8") as f:
+                owner = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            owner = 0
+        alive = False
+        if owner > 0:
+            try:
+                os.kill(owner, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True
+        if alive:
+            raise ConcurrentWriterError(
+                f"writer lock {lock} held by live pid {owner}; "
+                "concurrent merges on one target are serialized — retry"
+            )
+        with contextlib.suppress(OSError):
+            os.remove(lock)  # dead owner: break the stale lock
+        fd = _try_acquire()
+        if fd is None:  # a third writer won the break race — clean loss
+            raise ConcurrentWriterError(
+                f"writer lock {lock} contended while breaking a stale owner"
+            )
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(lock)
 
 
 def _current_snapshot(target_dir: str) -> str | None:
@@ -121,15 +186,16 @@ def upsert_parquet(
     # straight in here — is computed once, not per pass.
     updates = updates.dropDuplicates([key]).persist()
     try:
-        return _upsert_parquet(
-            spark,
-            updates,
-            target_dir,
-            key,
-            partition_by,
-            allow_partition_move,
-            verify_no_partition_move,
-        )
+        with _writer_lock(target_dir):
+            return _upsert_parquet(
+                spark,
+                updates,
+                target_dir,
+                key,
+                partition_by,
+                allow_partition_move,
+                verify_no_partition_move,
+            )
     finally:
         updates.unpersist()
 
@@ -150,7 +216,8 @@ def _upsert_parquet(
     allow_partition_move: bool,
     verify_no_partition_move: bool,
 ) -> dict[str, int]:
-    current = read_table(spark, target_dir)
+    snap0 = _current_snapshot(target_dir)  # what this merge READS: the CAS expect
+    current = spark.read.parquet(snap0) if snap0 else None
     n_updates = updates.count()  # also materializes the persisted batch
 
     if n_updates == 0:
@@ -199,9 +266,13 @@ def _upsert_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(snap_path)
 
-    old = _current_snapshot(target_dir)
-    _swap_pointer(target_dir, snap_name)
-    _gc_snapshots(target_dir, keep={snap_name, os.path.basename(old or "")})
+    _swap_pointer(
+        target_dir, snap_name,
+        expect=os.path.basename(snap0) if snap0 else None,
+    )
+    _gc_snapshots(
+        target_dir, keep={snap_name, os.path.basename(snap0 or "")}
+    )
 
     return {
         "rows_upserted": n_updates,
@@ -260,7 +331,7 @@ def _merge_touched_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    _swap_pointer(target_dir, snap_name)
+    _swap_pointer(target_dir, snap_name, expect=os.path.basename(snap))
     _gc_snapshots(target_dir, keep={snap_name, os.path.basename(snap)})
 
     return {
@@ -271,7 +342,31 @@ def _merge_touched_partitions(
     }
 
 
-def _swap_pointer(target_dir: str, snap_name: str) -> None:
+_UNSET = object()
+
+
+def _swap_pointer(target_dir: str, snap_name: str, expect=_UNSET) -> None:
+    """Atomically re-point the table at ``snap_name``.
+
+    ``expect`` (a snapshot basename or None) is the snapshot this
+    writer's merge READ: if the pointer no longer names it, another
+    writer committed meanwhile and publishing would silently drop that
+    merge — the half-built snapshot is removed and the swap fails with
+    ``ConcurrentWriterError`` instead (compare-and-swap under the
+    advisory lock; the residual check-to-replace window exists only
+    when the lock was wrongly broken)."""
+    ptr = os.path.join(target_dir, _POINTER)
+    if expect is not _UNSET:
+        cur = None
+        if os.path.exists(ptr):
+            with open(ptr, encoding="utf-8") as f:
+                cur = json.load(f)["snapshot"]
+        if cur != expect:
+            shutil.rmtree(os.path.join(target_dir, snap_name), ignore_errors=True)
+            raise ConcurrentWriterError(
+                f"pointer moved during merge (read {expect!r}, now {cur!r}); "
+                "another writer committed — this merge was NOT published, retry"
+            )
     tmp = os.path.join(target_dir, f".{_POINTER}.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"snapshot": snap_name}, f)
@@ -313,6 +408,18 @@ def compact_partitions(
     the total file count (a coalesce to that many tasks — inherent to
     producing exactly N files).
     """
+    with _writer_lock(target_dir):
+        return _compact_partitions(
+            spark, target_dir, partition_by, files_per_partition
+        )
+
+
+def _compact_partitions(
+    spark: SparkSession,
+    target_dir: str,
+    partition_by: list[str] | None,
+    files_per_partition: int,
+) -> dict[str, int]:
     snap = _current_snapshot(target_dir)
     if snap is None:
         return {"files_before": 0, "files_after": 0}
@@ -340,7 +447,7 @@ def compact_partitions(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(target_dir, snap_name))
-    _swap_pointer(target_dir, snap_name)
+    _swap_pointer(target_dir, snap_name, expect=os.path.basename(snap))
     _gc_snapshots(target_dir, keep={snap_name, os.path.basename(snap)})
     files_after = len(
         spark.read.parquet(os.path.join(target_dir, snap_name)).inputFiles()

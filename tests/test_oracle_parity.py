@@ -44,3 +44,22 @@ def test_entry_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 19
+
+
+def test_driver_window_frozen():
+    """The first 50 registered names (alphabetical) must be exactly the
+    frozen driver recording window; any new query must sort after it.
+    register() enforces this at registration time — this test proves the
+    invariant holds over the full import surface."""
+    from gov_ec_pipeline_etl_spark.plans.registry import (
+        DRIVER_WINDOW,
+        all_queries,
+        register,
+    )
+
+    names = sorted(all_queries())
+    assert set(names[:50]) == set(DRIVER_WINDOW)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="driver recording window"):
+        register("e99_bad_name", None)(lambda spark, sf: None)

@@ -720,3 +720,63 @@ def test_ckan_datasource_feeds_etl_end_to_end(spark, tmp_path):
         assert out.reports["detenciones_2024"]["rows_out"] == 2
     finally:
         httpd.shutdown()
+
+
+def test_concurrent_writer_lock_serializes(spark, tmp_path):
+    """Two simultaneous merges on one target: the second fails CLEANLY
+    with ConcurrentWriterError while the lock owner is alive — never a
+    silent last-writer-wins that drops a merge (VERDICT r3 #6)."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        _LOCK,
+        ConcurrentWriterError,
+    )
+
+    target = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], "surrogate_id int, v string")
+    upsert_parquet(spark, df1, target)
+
+    # writer A "holds" the lock (live pid: our own)
+    lock = os.path.join(target, _LOCK)
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write(str(os.getpid()))
+    df2 = spark.createDataFrame([(2, "b")], "surrogate_id int, v string")
+    with pytest.raises(ConcurrentWriterError, match="held by live pid"):
+        upsert_parquet(spark, df2, target)
+    # the losing merge published nothing
+    assert [r.v for r in read_table(spark, target).collect()] == ["a"]
+    os.remove(lock)
+
+    # a STALE lock (dead owner) is broken and the merge proceeds
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write(str(p.pid))
+    m = upsert_parquet(spark, df2, target)
+    assert m["rows_inserted"] == 1
+    assert sorted(r.v for r in read_table(spark, target).collect()) == ["a", "b"]
+    assert not os.path.exists(lock)  # released on success
+
+
+def test_pointer_cas_rejects_moved_pointer(spark, tmp_path):
+    """If the pointer moved between a merge's read and its swap (the
+    advisory lock was wrongly broken), the swap fails and the half-built
+    snapshot is removed — the winner's state is never overwritten."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        ConcurrentWriterError,
+        _current_snapshot,
+        _swap_pointer,
+    )
+
+    target = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], "surrogate_id int, v string")
+    upsert_parquet(spark, df1, target)
+    winner = os.path.basename(_current_snapshot(target))
+
+    loser = os.path.join(target, "snapshot_loser")
+    os.makedirs(loser)
+    with pytest.raises(ConcurrentWriterError, match="pointer moved"):
+        _swap_pointer(target, "snapshot_loser", expect="snapshot_stale_read")
+    assert not os.path.exists(loser)  # half-built snapshot cleaned up
+    assert os.path.basename(_current_snapshot(target)) == winner
