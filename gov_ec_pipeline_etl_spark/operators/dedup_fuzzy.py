@@ -436,22 +436,29 @@ def ngram_jaccard_pairs(
     kept = sh.join(F.broadcast(head), "h60", "left_anti").persist()
     kept.count()
     sh.unpersist()
-    # Intersection counts straight off the inverted index: expand each
-    # bucket's in-bucket pairs WITH multiplicity (one occurrence per
-    # shared shingle) and count per pair. Total expanded rows are
-    # Σ_s C(df_s, 2) ≤ (max_df-1)/2 · |kept| — DF-bounded — where the
-    # textbook alternative (generate distinct candidates, then join each
-    # pair back to both documents' full shingle sets) drags
-    # |pairs| · avg_doc_shingles rows through two extra joins (~30×
-    # more at sf0.1, measured 26 s vs 4 s for the verify stage).
-    buckets = (
-        kept.groupBy("h60")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
+    return _jaccard_from_kept(kept, jaccard_threshold)
+
+
+def _jaccard_from_kept(kept: DataFrame, jaccard_threshold: float) -> DataFrame:
+    """Jaccard pairs from a DF-cut (id, h60) inverted index.
+
+    Intersection counts via a SELF-JOIN of the index on the shingle
+    hash: each h60 key contributes C(df,2) ordered pairs directly inside
+    whole-stage codegen. Replaces the earlier collect_list-bucket +
+    array-HOF expansion, which built n² interpreted struct allocations
+    per bucket before filtering the upper triangle — the exact HOF tax
+    PERF.md item 2 measures (16.1 s → 4.7 s for this stage at sf0.1).
+    Output volume is the same DF-bounded Σ_s C(df_s, 2) ≤
+    (max_df-1)/2 · |kept|, and per-key join fan-out is capped at max_df
+    rows a side, so the join carries no skew risk at corpus scale. The
+    textbook alternative (distinct candidates, then join each pair back
+    to both documents' full shingle sets) stays ~30× worse — it drags
+    |pairs| · avg_doc_shingles rows through two extra joins."""
     inter = (
-        _bucket_pair_occurrences(buckets)
-        .groupBy("id_a", "id_b")
+        kept.alias("a")
+        .join(kept.alias("b"), "h60")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -514,3 +521,68 @@ def incremental_neardup_against(
         F.col("id_b").alias("corpus_id"),
         "jaccard",
     )
+
+
+# --- stored n-gram inverted index ----------------------------------------
+
+
+def write_ngram_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 3,
+    max_df: int = 50,
+    portable: bool = True,
+    hash_dirs: int = 16,
+) -> None:
+    """Materialize the DF-cut (id, h60) inverted index as a stored
+    parquet table — the n-gram analogue of ``write_sketch_table``
+    (VERDICT r3 #3): the corpus is shingled, hashed, and head-cut ONCE
+    when a snapshot is built; every later Jaccard query (full-corpus
+    pairs or an arrival batch probe) reads the index back instead of
+    re-paying the shingle scan and the head aggregate — the dominant
+    cold cost at corpus scale.
+
+    Layout: directory-partitioned by ``hb = pmod(h60, hash_dirs)`` — a
+    stable hash-range partitioning, so (a) readers parallelize across
+    the hash space without a shuffle-inducing sort, and (b) a targeted
+    probe of specific shingle hashes partition-prunes to its hb dirs,
+    the same layout-as-index trick the stored IVF table uses with
+    centroid ids."""
+    sh = (
+        shingle_rows(df, id_col, text_col, k)
+        .select("id", hash64(F.col("s"), 0, portable).alias("h60"))
+        .persist()
+    )
+    sh.count()
+    head = (
+        sh.groupBy("h60")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("h60")
+    )
+    kept = sh.join(F.broadcast(head), "h60", "left_anti")
+    (
+        kept.withColumn("hb", F.pmod("h60", F.lit(hash_dirs)))
+        .repartition("hb")
+        .write.mode("overwrite")
+        .partitionBy("hb")
+        .parquet(path)
+    )
+    sh.unpersist()
+
+
+def read_ngram_index(spark: SparkSession, path: str) -> DataFrame:
+    """(id, h60) rows of a stored index (hb is layout, not payload)."""
+    return spark.read.parquet(path).select("id", "h60")
+
+
+def ngram_pairs_from_index(
+    spark: SparkSession, path: str, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """Jaccard near-dup pairs computed from a STORED inverted index:
+    read-back + self-join — no shingling, no head aggregate. This is
+    d04's amortized deployment form; results are identical to
+    ``ngram_jaccard_pairs`` on the corpus the index was built from."""
+    return _jaccard_from_kept(read_ngram_index(spark, path), jaccard_threshold)

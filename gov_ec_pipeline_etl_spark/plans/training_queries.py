@@ -1432,3 +1432,31 @@ def w06_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("bucket_n") >= F.first("exact_n")).alias("never_underestimates"),
         )
     )
+
+
+@register(
+    "u14_ngram_index_pairs",
+    oracle=lambda sf_dir: __import__(
+        "gov_ec_pipeline_etl_spark.plans.dedup_queries", fromlist=["_ngram_oracle"]
+    )._ngram_oracle(),
+    doc="d04's AMORTIZED deployment form (VERDICT r3 #3): the DF-cut "
+    "(id, h60) inverted index is materialized once as a parquet table "
+    "partitioned by hash range (write_ngram_index), then the Jaccard "
+    "pairs are computed entirely from the READ-BACK index — no "
+    "shingling, no head aggregate on the query path. Must bit-match "
+    "d04_ngram_jaccard; the oracle is d04's.",
+    tags=("dedup", "jaccard", "stored-index", "llm-pipeline"),
+)
+def u14_ngram_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        ngram_pairs_from_index,
+        write_ngram_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="ngram_index_") + "/idx"
+    write_ngram_index(
+        _dirty_docs(spark, sf_dir), "doc_id", "text", path, k=3, max_df=50
+    )
+    return ngram_pairs_from_index(spark, path, jaccard_threshold=0.5)
