@@ -391,3 +391,54 @@ def test_ngram_stored_index_matches_inline(spark, tmp_path, docs_df):
     )
     assert stored == inline and len(stored) > 0
     assert any(d.startswith("hb=") for d in os.listdir(path))
+
+
+def test_ppm_wav_codecs_parse_real_bytes():
+    """The codecs are real parsers, not fixture-shape readers: P6 with
+    header comments and arbitrary whitespace; WAV with an extra chunk
+    before data and word-aligned odd-size chunks; malformed payloads
+    raise instead of returning garbage."""
+    import struct
+
+    import numpy as np
+
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+    )
+
+    pix = np.arange(2 * 3 * 3, dtype=np.uint8)  # 2x3 RGB
+    ppm = b"P6 # inline\n# full comment line\n 2\t3 # wxh\n255\n" + pix.tobytes()
+    w, h, r, g, b = decode_ppm(ppm)
+    n = 2 * 3
+    assert (w, h) == (2, 3)
+    assert r == int(pix[0::3].sum()) * 1_000_000 // n
+    assert b == int(pix[2::3].sum()) * 1_000_000 // n
+
+    samples = np.array([0, 100, 4000, 7], dtype="<i2")
+    data = samples.tobytes()
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size, padded
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + extra
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    sr, ns, amp, energy = decode_wav(wav)
+    s = samples.astype(np.int64)
+    assert (sr, ns) == (8000, 4)
+    assert amp == int(s.sum()) * 1_000_000 // 4
+    assert energy == int((s * s).sum()) * 1_000_000 // 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(4))  # P5 is not P6
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + bytes(40))  # big-endian RIFX unsupported
+    with _pytest.raises(ValueError):
+        decode_wav(  # stereo rejected
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+            + b"data" + struct.pack("<I", 0)
+        )
