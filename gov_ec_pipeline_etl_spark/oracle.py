@@ -64,6 +64,45 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+_FAST_COMPARE_ROWS = 200_000
+
+
+def _fast_compare(
+    spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, cols: list[str]
+) -> tuple[bool, str]:
+    """Vectorized equality for LARGE results (sf1-scale gate runs).
+
+    The row-tuple canonicalizer below builds n·m Python objects and
+    sorts with repr() keys — minutes of single-core time per side on a
+    multi-million-row dedup pair set. This path sorts with pandas
+    (mergesort, same key both sides) and compares column-wise via
+    pandas ``.equals`` after dtype normalization: exact equality, NaN
+    == NaN, no Python-object blowup. Detail on mismatch is coarser
+    (column name, not row) — acceptable for results this size."""
+    import numpy as np
+
+    s = spark_pdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    d = duck_pdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    for c in cols:
+        a, b = s[c], d[c]
+        try:
+            if a.dtype != b.dtype:
+                b = b.astype(a.dtype)
+        except (TypeError, ValueError):
+            return False, f"column {c}: incomparable dtypes {a.dtype} vs {b.dtype}"
+        if a.dtype.kind == "f":
+            av, bv = a.to_numpy(), b.to_numpy()
+            if not np.array_equal(
+                np.where(av == 0.0, 0.0, av),  # collapse -0.0, like _canon_value
+                np.where(bv == 0.0, 0.0, bv),
+                equal_nan=True,
+            ):
+                return False, f"column {c} differs (large-result fast compare)"
+        elif not a.equals(b):
+            return False, f"column {c} differs (large-result fast compare)"
+    return True, f"ok ({len(s)} rows, fast compare)"
+
+
 def compare(
     spark_df, oracle_sql: str, sf_dir: str, con: duckdb.DuckDBPyConnection | None = None
 ) -> tuple[bool, str]:
@@ -97,6 +136,8 @@ def compare(
                 )
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row count mismatch: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
+    if len(spark_pdf) > _FAST_COMPARE_ROWS:
+        return _fast_compare(spark_pdf, duck_pdf, s_cols)
     s_rows, d_rows = canonical_rows(spark_pdf), canonical_rows(duck_pdf)
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
         if a != b:
@@ -104,8 +145,19 @@ def compare(
     return True, f"ok ({len(s_rows)} rows)"
 
 
-def run_all(sf_dir: str, names: list[str] | None = None, spark=None) -> dict[str, str]:
-    """Run every registered query with an oracle; return name → status."""
+def run_all(
+    sf_dir: str,
+    names: list[str] | None = None,
+    spark=None,
+    on_result=None,
+) -> dict[str, str]:
+    """Run every registered query with an oracle; return name → status.
+
+    ``on_result(name, status, seconds)`` streams each result as it
+    lands — long runs (sf1 gate) report progress instead of buffering
+    everything until the end."""
+    import time as _time
+
     from gov_ec_pipeline_etl_spark.plans import all_queries
     from gov_ec_pipeline_etl_spark.session import get_spark
 
@@ -116,22 +168,25 @@ def run_all(sf_dir: str, names: list[str] | None = None, spark=None) -> dict[str
         for name, q in sorted(all_queries().items()):
             if names and name not in names:
                 continue
+            t0 = _time.time()
             if q.oracle is None:
                 try:
                     n = q.spark(spark, sf_dir).count()
                     out[name] = f"rows-only ({n} rows)"
                 except Exception as e:  # noqa: BLE001
                     out[name] = f"ERROR {type(e).__name__}: {e}"
-                continue
-            try:
-                from gov_ec_pipeline_etl_spark.plans.registry import oracle_text
+            else:
+                try:
+                    from gov_ec_pipeline_etl_spark.plans.registry import oracle_text
 
-                ok, msg = compare(
-                    q.spark(spark, sf_dir), oracle_text(q, sf_dir), sf_dir, con
-                )
-                out[name] = ("OK " if ok else "MISMATCH ") + msg
-            except Exception as e:  # noqa: BLE001
-                out[name] = f"ERROR {type(e).__name__}: {e}"
+                    ok, msg = compare(
+                        q.spark(spark, sf_dir), oracle_text(q, sf_dir), sf_dir, con
+                    )
+                    out[name] = ("OK " if ok else "MISMATCH ") + msg
+                except Exception as e:  # noqa: BLE001
+                    out[name] = f"ERROR {type(e).__name__}: {e}"
+            if on_result is not None:
+                on_result(name, out[name], _time.time() - t0)
     finally:
         con.close()
     return out
@@ -141,10 +196,23 @@ if __name__ == "__main__":
     import sys
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or None
+    args = sys.argv[2:]
+    skip: set[str] = set()
+    while "--skip" in args:
+        i = args.index("--skip")
+        skip.add(args[i + 1])
+        args = args[:i] + args[i + 2 :]
+    names = args or None
+    if skip:
+        from gov_ec_pipeline_etl_spark.plans import all_queries
+
+        names = sorted(set(names or all_queries()) - skip)
     failed = 0
-    for name, status in run_all(sf_dir, names).items():
-        print(f"{name}: {status}")
+
+    def _stream(name: str, status: str, secs: float) -> None:
+        print(f"{name}: {status} [{secs:.1f}s]", flush=True)
+
+    for name, status in run_all(sf_dir, names, on_result=_stream).items():
         if not (status.startswith("OK") or status.startswith("rows-only")):
             failed += 1
     sys.exit(1 if failed else 0)

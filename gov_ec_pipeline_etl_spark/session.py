@@ -56,6 +56,12 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # The oracle gate collects full results for the DuckDB diff; at sf1
+    # some dedup queries return multi-million-row pair sets and trip the
+    # 1g default mid-compare. Engine data paths never collect (the
+    # plan-shape tests pin that), so this only sizes the VERIFICATION
+    # harness, not production behavior.
+    "spark.driver.maxResultSize": "8g",
     "spark.ui.enabled": "false",
 }
 
