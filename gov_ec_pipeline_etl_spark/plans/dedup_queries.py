@@ -246,10 +246,14 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
         sh AS (SELECT doc_id, {shingles_sql(3)} AS shingles FROM toksed),
         inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM inv GROUP BY doc_id),
+        counts AS (SELECT s, COUNT(*) AS c FROM inv GROUP BY s),
+        kept AS (
+          SELECT i.s, i.doc_id FROM inv i JOIN counts USING (s) WHERE c <= 50
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
         )
         SELECT id_a, id_b,
@@ -259,34 +263,23 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
     """,
-    doc="Containment similarity |A∩B| / min(|A|,|B|) ≥ 0.9 — catches "
-    "subset/superset duplication that symmetric Jaccard underweights "
-    "(a document embedded inside a larger one). Inverted-index "
-    "co-occurrence counts, no arrays, no cross join.",
+    doc="Containment similarity |A∩B| / min(|A|,|B|) ≥ 0.9 over "
+    "DF-filtered shingles — catches subset/superset duplication that "
+    "symmetric Jaccard underweights (a document embedded inside a "
+    "larger one shares its RARE shingles with its container, so the "
+    "head cut keeps the pairs that matter). The cut bounds the "
+    "inverted-index expansion by Σ C(df,2) — the uncut self-join is "
+    "quadratic in per-shingle df and measured ~600M join rows at sf1 "
+    "(round-4 scale-proof finding). Sets are the post-cut sets on both "
+    "engine and oracle sides.",
     tags=("dedup", "containment", "llm-pipeline"),
 )
 def d05_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import shingle_rows
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import containment_pairs
 
-    rows = shingle_rows(_dirty_docs(spark, sf_dir), "doc_id", "text", 3).persist()
-    sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        rows.alias("a")
-        .join(
-            rows.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-        .withColumn(
-            "containment", F.col("inter") / F.least("sz_a", "sz_b")
-        )
-        .where(F.col("containment") >= 0.9)
-        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    return containment_pairs(
+        _dirty_docs(spark, sf_dir), "doc_id", "text",
+        k=3, threshold=0.9, max_df=50,
     )
 
 
