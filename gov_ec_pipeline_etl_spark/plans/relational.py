@@ -424,14 +424,17 @@ def q14_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p_brand,
                COUNT(*) AS n_lines,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18, 4))), 2) AS DOUBLE) AS revenue,
                COUNT(DISTINCT l_suppkey) AS n_suppliers
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     """,
     doc="Fact ⋈ broadcast dim + COUNT DISTINCT (expands to two-phase "
-    "distinct aggregate).",
+    "distinct aggregate). Per-row revenue cast to DECIMAL(18,4) on both "
+    "sides before SUM — order-independent exact sums (the double-sum "
+    "ulp landed on a cent boundary at sf1: x42's discipline).",
     tags=("join", "agg", "distinct"),
 )
 def x15_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,8 +446,15 @@ def x15_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
     )
