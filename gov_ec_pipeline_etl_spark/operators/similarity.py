@@ -213,20 +213,89 @@ def cosine_near_pairs(
     n_planes: int = 8,
     seed: int = 42,
     bucketed: bool = True,
+    bands: int = 1,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold, id_a < id_b).
     ``bucketed=False`` runs the exact quadratic variant (oracle mode).
 
-    The bucketed variant persists an intermediate (id, v, norm, bucket)
-    projection that the returned DataFrame reads from; it stays cached
-    until released. Long-lived sessions issuing many calls should
-    unpersist after the consuming action via the handle attached to the
-    result (``result._persisted_inputs``) or ``spark.catalog.clearCache()``
+    ``bands > 1`` selects BANDED hyperplane LSH — the corpus-scale
+    form: ``bands`` independent plane sets, candidate = same bucket in
+    ANY band (MinHash-band OR-construction). This decouples the two
+    knobs a single table conflates: more planes per band shrinks bucket
+    occupancy (in-bucket pair work is quadratic in occupancy — the sf1
+    bench measured a 5.1× cost factor for 4× corpus at fixed 8-plane/256
+    buckets), while more bands restores recall (P[split by one plane] ≈
+    θ/π per plane; at cos 0.999, 12 planes keep a true pair together
+    with p ≈ 0.84 per band, and 4 bands lift recall to 1−(1−p)⁴ ≈
+    0.9994). Parallel (planted/scaled) duplicates share signs under
+    every plane set, so banding never changes their result set.
+
+    The bucketed variants persist an intermediate projection that the
+    returned DataFrame reads from; it stays cached until released.
+    Long-lived sessions issuing many calls should unpersist after the
+    consuming action via the handle attached to the result
+    (``result._persisted_inputs``) or ``spark.catalog.clearCache()``
     — the bench/test harnesses already clear between queries."""
     dim = vec_dim(df, vec_col)
     v = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("n", l2_norm("v", dim))
+    if bucketed and bands > 1:
+        v = v.persist()
+        v.count()
+        planes_per_band = [
+            hyperplanes(dim, n_planes, seed + 101 * b) for b in range(bands)
+        ]
+        keyed = v.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            bucket_key("v", p).alias("key"),
+                        )
+                        for b, p in enumerate(planes_per_band)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", "bk.band", "bk.key")
+        # the band-key projection is a ~3000-term literal expression —
+        # persist its (id, band, key) output (4 tiny rows per vector)
+        # so the self-join's two sides and the analyzer see a cached
+        # leaf, not two more evaluations/copies of the giant kernel
+        keyed = keyed.persist()
+        keyed.count()
+        cand = (
+            keyed.alias("x")
+            .join(keyed.alias("y"), ["band", "key"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        fetched = cand.join(
+            v.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
+            "id_a",
+        ).join(
+            v.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
+            "id_b",
+        )
+        out = (
+            fetched.select(
+                "id_a", "id_b",
+                (dot("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias("cos"),
+            )
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 3).alias("cos_r"))
+        )
+        out._persisted_inputs = [v, keyed]
+        return out
     if bucketed:
         planes = hyperplanes(dim, n_planes, seed)
         # Materialize the (id, v, norm, bucket) projection once: both

@@ -97,6 +97,19 @@ def s02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(planted)
+    # Stats-based physical strategy (output identical either way —
+    # scaled copies share signs under every plane set): small corpora
+    # take the single 8-plane table; past ~10k vectors switch to banded
+    # LSH (12 planes × 4 bands), whose ~10 s driver-side plan/compile
+    # constant amortizes while bucket occupancy stays ~1 (the sf1 bench
+    # measured the fixed-256-bucket table going quadratic in occupancy:
+    # 5.1× cost for 4× corpus; banded crossover measured at ~6k
+    # vectors). 4-band OR-construction holds ≥0.999-recall at ~0.9994 —
+    # math in cosine_near_pairs.
+    if emb.count() * 2 > 10_000:
+        return cosine_near_pairs(
+            corpus, threshold=0.999, bucketed=True, n_planes=12, bands=4
+        )
     return cosine_near_pairs(corpus, threshold=0.999, bucketed=True)
 
 
