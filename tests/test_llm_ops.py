@@ -442,3 +442,35 @@ def test_ppm_wav_codecs_parse_real_bytes():
             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
             + b"data" + struct.pack("<I", 0)
         )
+
+
+def test_banded_lsh_matches_exact_and_single_table(spark):
+    """Banded hyperplane LSH (12 planes × 4 bands) must return exactly
+    the same near-dup pair set as the single 8-plane table AND the
+    exact quadratic scan on a corpus with planted scaled copies
+    (parallel vectors share signs under every plane set)."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.operators.similarity import cosine_near_pairs
+    from gov_ec_pipeline_etl_spark.plans.util import T
+
+    emb = T(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(planted)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    exact = rows(cosine_near_pairs(corpus, bucketed=False))
+    single = rows(cosine_near_pairs(corpus, bucketed=True))
+    banded = rows(cosine_near_pairs(corpus, bucketed=True, n_planes=12, bands=4))
+    assert len(exact) > 0
+    assert single == exact
+    assert banded == exact
