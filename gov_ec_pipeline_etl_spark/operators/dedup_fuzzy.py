@@ -544,12 +544,16 @@ def write_ngram_index(
     re-paying the shingle scan and the head aggregate — the dominant
     cold cost at corpus scale.
 
-    Layout: directory-partitioned by ``hb = pmod(h60, hash_dirs)`` — a
-    stable hash-range partitioning, so (a) readers parallelize across
-    the hash space without a shuffle-inducing sort, and (b) a targeted
-    probe of specific shingle hashes partition-prunes to its hb dirs,
-    the same layout-as-index trick the stored IVF table uses with
-    centroid ids."""
+    Layout: ``path/kept`` holds the (id, h60) rows directory-partitioned
+    by ``hb = pmod(h60, hash_dirs)`` — a stable hash-range partitioning,
+    so (a) readers parallelize across the hash space without a
+    shuffle-inducing sort, and (b) a targeted probe of specific shingle
+    hashes partition-prunes to its hb dirs, the same layout-as-index
+    trick the stored IVF table uses with centroid ids. ``path/head``
+    holds the cut heavy-hitter h60 set (tiny by construction —
+    broadcastable at any corpus size) so incremental batches can apply
+    the SAME cut to their side and keep Jaccard semantics identical to
+    the full-corpus query."""
     sh = (
         shingle_rows(df, id_col, text_col, k)
         .select("id", hash64(F.col("s"), 0, portable).alias("h60"))
@@ -562,20 +566,26 @@ def write_ngram_index(
         .where(F.col("df") > max_df)
         .select("h60")
     )
+    head.write.mode("overwrite").parquet(path + "/head")
     kept = sh.join(F.broadcast(head), "h60", "left_anti")
     (
         kept.withColumn("hb", F.pmod("h60", F.lit(hash_dirs)))
         .repartition("hb")
         .write.mode("overwrite")
         .partitionBy("hb")
-        .parquet(path)
+        .parquet(path + "/kept")
     )
     sh.unpersist()
 
 
 def read_ngram_index(spark: SparkSession, path: str) -> DataFrame:
     """(id, h60) rows of a stored index (hb is layout, not payload)."""
-    return spark.read.parquet(path).select("id", "h60")
+    return spark.read.parquet(path + "/kept").select("id", "h60")
+
+
+def read_ngram_head(spark: SparkSession, path: str) -> DataFrame:
+    """The stored index's cut heavy-hitter shingle-hash set (h60)."""
+    return spark.read.parquet(path + "/head").select("h60")
 
 
 def ngram_pairs_from_index(
@@ -642,3 +652,61 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     )
+
+
+def ngram_incremental_against_index(
+    arrivals: DataFrame,
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard of an arrival batch against a STORED corpus
+    inverted index (``write_ngram_index``) — the ingest-time companion
+    to ``incremental_neardup_against`` for pipelines that want exact
+    Jaccard rather than MinHash candidates.
+
+    Per batch: shingle+hash the arrivals, drop the CORPUS head set
+    (read back from ``path/head`` and broadcast — so both sides carry
+    exactly the corpus cut and the Jaccard semantics match the
+    full-corpus d04/u14 query), then ONE asymmetric join of arrival
+    rows against index rows on h60. The corpus is never re-shingled
+    and never self-joined; per-batch work is linear in the batch plus
+    the matched index rows."""
+    head = read_ngram_head(spark, index_path)
+    sh_new = (
+        shingle_rows(arrivals, id_col, text_col, k)
+        .select("id", hash64(F.col("s"), 0, portable).alias("h60"))
+        .join(F.broadcast(head), "h60", "left_anti")
+        .persist()
+    )
+    sh_new.count()
+    corpus = read_ngram_index(spark, index_path)
+    inter = (
+        sh_new.withColumnsRenamed({"id": "new_id"})
+        .join(corpus.withColumnsRenamed({"id": "corpus_id"}), "h60")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes_corpus = corpus.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    out = (
+        inter.join(
+            sizes_new.withColumnsRenamed({"id": "new_id", "sz": "sz_a"}), "new_id"
+        )
+        .join(
+            sizes_corpus.withColumnsRenamed({"id": "corpus_id", "sz": "sz_b"}),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+    out._persisted_inputs = [sh_new]
+    return out

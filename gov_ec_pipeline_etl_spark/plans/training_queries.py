@@ -1544,3 +1544,63 @@ def u16_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("media_id")
     )
     return decode_audio(wav_fixture_payloads(ids))
+
+
+@register(
+    "u17_ngram_incremental",
+    oracle=f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        arrivals AS (
+          SELECT doc_id + {MUT_OFFSET} AS doc_id, text || ' zz0 zz1 zz2' AS text
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        ctoks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+        csh AS (SELECT doc_id, unnest({shingles_sql(3)}) AS s FROM ctoks),
+        counts AS (SELECT s, COUNT(*) AS c FROM csh GROUP BY s),
+        head AS (SELECT s FROM counts WHERE c > 50),
+        kept AS (SELECT doc_id, s FROM csh WHERE s NOT IN (SELECT s FROM head)),
+        atoks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM arrivals),
+        ash AS (SELECT doc_id, unnest({shingles_sql(3)}) AS s FROM atoks),
+        akept AS (SELECT doc_id, s FROM ash WHERE s NOT IN (SELECT s FROM head)),
+        sizes_c AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+        sizes_a AS (SELECT doc_id, COUNT(*) AS sz FROM akept GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS n
+          FROM akept a JOIN kept c ON a.s = c.s
+          GROUP BY a.doc_id, c.doc_id
+        )
+        SELECT new_id, corpus_id,
+               ROUND(CAST(n AS DOUBLE) / (sa.sz + sc.sz - n), 6) AS jaccard
+        FROM inter
+        JOIN sizes_a sa ON sa.doc_id = new_id
+        JOIN sizes_c sc ON sc.doc_id = corpus_id
+        WHERE CAST(n AS DOUBLE) / (sa.sz + sc.sz - n) >= 0.5
+    """,
+    doc="INCREMENTAL exact n-gram Jaccard against the STORED inverted "
+    "index (u14's ingest-time companion, mirroring u12's MinHash "
+    "shape): the corpus index (kept rows + head set) is written once; "
+    "per batch the arrivals are shingled, the stored CORPUS head cut "
+    "is applied to the arrival side (broadcast anti-join — both sides "
+    "carry one consistent cut), and one asymmetric h60 join against "
+    "the read-back index yields exact Jaccard. The corpus is never "
+    "re-shingled and never self-joined.",
+    tags=("dedup", "incremental", "stored-index", "llm-pipeline"),
+)
+def u17_ngram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        ngram_incremental_against_index,
+        write_ngram_index,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    arrivals = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"),
+    )
+    path = tempfile.mkdtemp(prefix="ngram_inc_") + "/idx"
+    write_ngram_index(docs, "doc_id", "text", path, k=3, max_df=50)
+    return ngram_incremental_against_index(
+        arrivals, spark, path, threshold=0.5
+    )

@@ -390,7 +390,8 @@ def test_ngram_stored_index_matches_inline(spark, tmp_path, docs_df):
         )
     )
     assert stored == inline and len(stored) > 0
-    assert any(d.startswith("hb=") for d in os.listdir(path))
+    assert any(d.startswith("hb=") for d in os.listdir(path + "/kept"))
+    assert os.path.isdir(path + "/head")
 
 
 def test_ppm_wav_codecs_parse_real_bytes():
