@@ -569,7 +569,8 @@ def write_ngram_index(
     head.write.mode("overwrite").parquet(path + "/head")
     kept = sh.join(F.broadcast(head), "h60", "left_anti")
     (
-        kept.withColumn("hb", F.pmod("h60", F.lit(hash_dirs)))
+        kept.select(F.col("id").cast("long").alias("id"), "h60")
+        .withColumn("hb", F.pmod("h60", F.lit(hash_dirs)))
         .repartition("hb")
         .write.mode("overwrite")
         .partitionBy("hb")
@@ -579,13 +580,23 @@ def write_ngram_index(
 
 
 def read_ngram_index(spark: SparkSession, path: str) -> DataFrame:
-    """(id, h60) rows of a stored index (hb is layout, not payload)."""
-    return spark.read.parquet(path + "/kept").select("id", "h60")
+    """(id, h60) rows of a stored index (hb is layout, not payload).
+
+    The schema is pinned (ids are stored as bigint) so a legitimately
+    EMPTY index stays readable: a corpus where every shingle exceeds
+    max_df — e.g. a uniform closed vocabulary at scale — has no
+    discriminative shingles, the cut keeps nothing, and Spark's
+    partitioned writer emits no files to infer a schema from."""
+    return (
+        spark.read.schema("id bigint, h60 bigint, hb int")
+        .parquet(path + "/kept")
+        .select("id", "h60")
+    )
 
 
 def read_ngram_head(spark: SparkSession, path: str) -> DataFrame:
     """The stored index's cut heavy-hitter shingle-hash set (h60)."""
-    return spark.read.parquet(path + "/head").select("h60")
+    return spark.read.schema("h60 bigint").parquet(path + "/head").select("h60")
 
 
 def ngram_pairs_from_index(
