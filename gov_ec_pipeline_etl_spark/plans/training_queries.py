@@ -1464,6 +1464,7 @@ def u14_ngram_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "u15_ppm_decode",
+    bench=True,
     oracle="""
         WITH params AS (
           SELECT doc_id AS media_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
