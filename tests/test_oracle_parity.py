@@ -63,3 +63,38 @@ def test_driver_window_frozen():
 
     with _pytest.raises(ValueError, match="driver recording window"):
         register("e99_bad_name", None)(lambda spark, sf: None)
+
+
+def test_fast_compare_large_results():
+    """The vectorized large-result compare must agree with the row-tuple
+    canonicalizer's semantics: order-insensitive equality, -0.0 == 0.0,
+    NaN == NaN, dtype-width tolerance — and still catch real value and
+    ordering-sensitive differences."""
+    import numpy as np
+    import pandas as pd
+
+    from gov_ec_pipeline_etl_spark.oracle import _fast_compare
+
+    a = pd.DataFrame(
+        {"k": [1, 2, 3], "v": [0.0, np.nan, 1.5], "s": ["x", "y", "z"]}
+    )
+    # same rows, different order, -0.0, int32 key
+    b = pd.DataFrame(
+        {
+            "k": np.array([3, 1, 2], dtype=np.int32),
+            "v": [1.5, -0.0, np.nan],
+            "s": ["z", "x", "y"],
+        }
+    )
+    ok, msg = _fast_compare(a, b, ["k", "s", "v"])
+    assert ok, msg
+
+    bad = b.copy()
+    bad.loc[0, "v"] = 1.5000001
+    ok, msg = _fast_compare(a, bad, ["k", "s", "v"])
+    assert not ok and "v" in msg
+
+    # same row COUNT but one row duplicated in place of another
+    dup = a.iloc[[0, 1, 1]].reset_index(drop=True)
+    ok, _ = _fast_compare(dup, a, ["k", "s", "v"])
+    assert not ok
