@@ -475,3 +475,39 @@ def test_banded_lsh_matches_exact_and_single_table(spark):
     assert len(exact) > 0
     assert single == exact
     assert banded == exact
+
+
+def test_ngram_incremental_applies_corpus_head_cut(spark, tmp_path):
+    """An arrival shingle that is HEAD in the stored corpus must not
+    count toward intersections or the arrival's set size — both sides
+    carry the corpus's cut, keeping incremental Jaccard consistent with
+    the full-corpus query semantics."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        ngram_incremental_against_index,
+        write_ngram_index,
+    )
+
+    # corpus: 5 docs share one stopword shingle ("aa bb cc" via common
+    # prefix), each carries a unique rare tail
+    rows = [(i, f"aa bb cc u{i} v{i} w{i}") for i in range(5)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_ngram_index(corpus, "doc_id", "text", path, k=3, max_df=3)
+
+    # arrival = copy of doc 0: shares the head shingle AND the rare tail
+    arrival = spark.createDataFrame(
+        [(100, "aa bb cc u0 v0 w0")], "doc_id long, text string"
+    )
+    out = ngram_incremental_against_index(
+        arrival, spark, path, threshold=0.1
+    ).collect()
+    # doc 0's kept set = its rare shingles only; the arrival matches all
+    # of them and nothing else → jaccard exactly 1.0 against doc 0, and
+    # NO pair with docs 1-4 (shared head shingle was cut on both sides)
+    assert [(r.new_id, r.corpus_id, r.jaccard) for r in out] == [(100, 0, 1.0)]
+    assert ngram_incremental_against_index(
+        arrival.select("doc_id", F.lit("aa bb cc zz").alias("text")),
+        spark, path, threshold=0.1,
+    ).count() == 0  # head + unseen shingles only → no candidates
