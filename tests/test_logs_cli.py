@@ -85,3 +85,27 @@ def test_cli_pull_atomic(tmp_path):
         assert not (tmp_path / "obj.bin.tmp").exists()
     finally:
         httpd.shutdown()
+
+
+def test_cli_pull_cleans_tmp_on_failure(tmp_path, monkeypatch):
+    """A failed download must not litter the destination with .tmp
+    partials (ADVICE r3): the tmp file written mid-stream is removed
+    before the error propagates."""
+    import os
+
+    import pytest
+
+    import gov_ec_pipeline_etl_spark.sources.catalog as catalog
+
+    dest = str(tmp_path / "out.bin")
+
+    def boom(url, path, **kw):
+        with open(path, "wb") as f:
+            f.write(b"partial")
+        raise OSError("connection dropped mid-stream")
+
+    monkeypatch.setattr(catalog, "download_resource", boom)
+    with pytest.raises(OSError, match="mid-stream"):
+        cli_main(["pull", "http://x/f", dest])
+    assert not os.path.exists(dest)
+    assert not os.path.exists(dest + ".tmp")
