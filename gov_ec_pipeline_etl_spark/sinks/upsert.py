@@ -408,6 +408,10 @@ def compact_partitions(
     the total file count (a coalesce to that many tasks — inherent to
     producing exactly N files).
     """
+    if _current_snapshot(target_dir) is None:
+        # nonexistent/empty table: nothing to compact, and taking the
+        # writer lock would fail on a directory that doesn't exist yet
+        return {"files_before": 0, "files_after": 0}
     with _writer_lock(target_dir):
         return _compact_partitions(
             spark, target_dir, partition_by, files_per_partition
