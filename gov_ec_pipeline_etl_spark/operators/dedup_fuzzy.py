@@ -436,7 +436,9 @@ def ngram_jaccard_pairs(
     kept = sh.join(F.broadcast(head), "h60", "left_anti").persist()
     kept.count()
     sh.unpersist()
-    return _jaccard_from_kept(kept, jaccard_threshold)
+    out = _jaccard_from_kept(kept, jaccard_threshold)
+    out._persisted_inputs = [kept]  # caller may .unpersist() after consuming
+    return out
 
 
 def _jaccard_from_kept(kept: DataFrame, jaccard_threshold: float) -> DataFrame:
