@@ -511,3 +511,65 @@ def test_ngram_incremental_applies_corpus_head_cut(spark, tmp_path):
         arrival.select("doc_id", F.lit("aa bb cc zz").alias("text")),
         spark, path, threshold=0.1,
     ).count() == 0  # head + unseen shingles only → no candidates
+
+
+def test_codec_property_roundtrip():
+    """Property: for arbitrary dimensions/sample counts and pixel/sample
+    values, encoding a genuine PPM/WAV and decoding it recovers the
+    header fields and integer-ppm statistics computed independently."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 40), h=st.integers(1, 30),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def ppm_case(w, h, seed):
+        rng = np.random.default_rng(seed)
+        pix = rng.integers(0, 256, w * h * 3).astype(np.uint8)
+        payload = f"P6\n{w} {h}\n255\n".encode() + pix.tobytes()
+        gw, gh, r, g, b = decode_ppm(payload)
+        n = w * h
+        px = pix.astype(np.int64)
+        assert (gw, gh) == (w, h)
+        assert r == int(px[0::3].sum()) * 1_000_000 // n
+        assert g == int(px[1::3].sum()) * 1_000_000 // n
+        assert b == int(px[2::3].sum()) * 1_000_000 // n
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        sr=st.integers(1, 192_000), ns=st.integers(0, 500),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_case(sr, ns, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, ns).astype("<i2")
+        data = s.tobytes()
+        payload = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        gsr, gns, amp, energy = decode_wav(payload)
+        assert (gsr, gns) == (sr, ns)
+        if ns:
+            s64 = s.astype(np.int64)
+            # negative sums use PYTHON floor division — the engine-side
+            # contract (fixtures keep sums non-negative for the oracle,
+            # but the decoder itself must be total)
+            assert amp == int(s64.sum()) * 1_000_000 // ns
+            assert energy == int((s64 * s64).sum()) * 1_000_000 // ns
+        else:
+            assert (amp, energy) == (0, 0)
+
+    ppm_case()
+    wav_case()
