@@ -144,3 +144,21 @@ def test_text_queries_survive_degenerate_docs(spark, tmp_path):
     ]:
         # no crash; the 3 real docs (at least) survive every tier
         assert qs[name].spark(spark, d).count() >= 3, name
+
+
+def test_banded_lsh_has_no_cartesian(spark):
+    """The banded near-dup path must generate candidates through the
+    (band, key) equi-join — never a cartesian/nested-loop product —
+    and fetch vectors for candidate pairs only."""
+    from gov_ec_pipeline_etl_spark.operators.similarity import cosine_near_pairs
+    from gov_ec_pipeline_etl_spark.plans.util import T
+
+    emb = T(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    df = cosine_near_pairs(emb, bucketed=True, n_planes=12, bands=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for p in getattr(df, "_persisted_inputs", []):
+        p.unpersist()
