@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from gov_ec_pipeline_etl_spark.caching import hold
 from gov_ec_pipeline_etl_spark.functions.hashing import hash64
 
 
@@ -436,9 +437,8 @@ def ngram_jaccard_pairs(
     kept = sh.join(F.broadcast(head), "h60", "left_anti").persist()
     kept.count()
     sh.unpersist()
-    out = _jaccard_from_kept(kept, jaccard_threshold)
-    out._persisted_inputs = [kept]  # caller may .unpersist() after consuming
-    return out
+    # caller releases via caching.unpersist_inputs / released()
+    return hold(_jaccard_from_kept(kept, jaccard_threshold), kept)
 
 
 def _jaccard_from_kept(kept: DataFrame, jaccard_threshold: float) -> DataFrame:
@@ -658,13 +658,14 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    return (
+    out = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
         .withColumn("containment", F.col("inter") / F.least("sz_a", "sz_b"))
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     )
+    return hold(out, kept)
 
 
 def ngram_incremental_against_index(
@@ -721,5 +722,4 @@ def ngram_incremental_against_index(
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
     )
-    out._persisted_inputs = [sh_new]
-    return out
+    return hold(out, sh_new)

@@ -25,6 +25,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from gov_ec_pipeline_etl_spark.caching import hold
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -294,8 +296,7 @@ def cosine_near_pairs(
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 3).alias("cos_r"))
         )
-        out._persisted_inputs = [v, keyed]
-        return out
+        return hold(out, v, keyed)
     if bucketed:
         planes = hyperplanes(dim, n_planes, seed)
         # Materialize the (id, v, norm, bucket) projection once: both
@@ -323,7 +324,7 @@ def cosine_near_pairs(
         .select("id_a", "id_b", F.round("cos", 3).alias("cos_r"))
     )
     if bucketed:
-        out._persisted_inputs = [v]  # caller may .unpersist() after consuming
+        hold(out, v)  # caller releases via caching.unpersist_inputs
     return out
 
 

@@ -87,7 +87,22 @@ def _fast_compare(
         a, b = s[c], d[c]
         try:
             if a.dtype != b.dtype:
-                b = b.astype(a.dtype)
+                # Coerce toward the WIDER type. Casting the DuckDB column to
+                # the Spark dtype would truncate (float64 1.5 → int64 1) and
+                # report a false "ok" — the slow canonical path compares 1 vs
+                # 1.5 as unequal, so this path must too.
+                if a.dtype.kind in "iu" and b.dtype.kind == "f":
+                    a = a.astype(b.dtype)
+                elif a.dtype.kind == "f" and b.dtype.kind in "iu":
+                    b = b.astype(a.dtype)
+                else:
+                    cast = b.astype(a.dtype)
+                    if not cast.astype(b.dtype).equals(b):
+                        return False, (
+                            f"column {c}: lossy dtype coercion "
+                            f"{b.dtype} -> {a.dtype} rejected"
+                        )
+                    b = cast
         except (TypeError, ValueError):
             return False, f"column {c}: incomparable dtypes {a.dtype} vs {b.dtype}"
         if a.dtype.kind == "f":
@@ -200,12 +215,18 @@ if __name__ == "__main__":
     skip: set[str] = set()
     while "--skip" in args:
         i = args.index("--skip")
+        if i + 1 >= len(args):
+            print("usage: oracle SF_DIR [QUERY ...] [--skip QUERY] ...", file=sys.stderr)
+            sys.exit(2)
         skip.add(args[i + 1])
         args = args[:i] + args[i + 2 :]
     names = args or None
     if skip:
         from gov_ec_pipeline_etl_spark.plans import all_queries
 
+        unknown = skip - set(all_queries())
+        if unknown:
+            print(f"warning: --skip names not registered: {sorted(unknown)}", file=sys.stderr)
         names = sorted(set(names or all_queries()) - skip)
     failed = 0
 

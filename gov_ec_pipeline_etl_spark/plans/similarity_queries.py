@@ -89,7 +89,12 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "lsh", "llm-pipeline"),
 )
 def s02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.tables import table_rows
+
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # one planted scaled copy per corpus vector — PLANT_COPIES sizes the
+    # strategy pick below, so changing the planting rule changes both
+    PLANT_COPIES = 1
     planted = emb.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(
@@ -100,13 +105,15 @@ def s02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stats-based physical strategy (output identical either way —
     # scaled copies share signs under every plane set): small corpora
     # take the single 8-plane table; past ~10k vectors switch to banded
-    # LSH (12 planes × 4 bands), whose ~10 s driver-side plan/compile
-    # constant amortizes while bucket occupancy stays ~1 (the sf1 bench
-    # measured the fixed-256-bucket table going quadratic in occupancy:
-    # 5.1× cost for 4× corpus; banded crossover measured at ~6k
-    # vectors). 4-band OR-construction holds ≥0.999-recall at ~0.9994 —
-    # math in cosine_near_pairs.
-    if emb.count() * 2 > 10_000:
+    # LSH (12 planes × 4 bands), whose driver-side plan constant
+    # amortizes while bucket occupancy stays ~1 (the sf1 bench measured
+    # the fixed-256-bucket table going quadratic in occupancy: 5.1×
+    # cost for 4× corpus; banded crossover measured at ~6k vectors).
+    # 4-band OR-construction holds ≥0.999-recall at ~0.9994 — math in
+    # cosine_near_pairs. Corpus size comes from parquet FOOTER metadata
+    # (table_rows): merely constructing this plan must not run a count
+    # job over the source.
+    if table_rows(sf_dir, "embeddings") * (1 + PLANT_COPIES) > 10_000:
         return cosine_near_pairs(
             corpus, threshold=0.999, bucketed=True, n_planes=12, bands=4
         )

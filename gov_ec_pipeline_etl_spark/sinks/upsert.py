@@ -63,56 +63,78 @@ class ConcurrentWriterError(RuntimeError):
 
 @contextlib.contextmanager
 def _writer_lock(target_dir: str):
-    """Advisory exclusive writer lock (O_CREAT|O_EXCL lockfile holding
-    the owner pid). A lock whose owner pid is dead is broken and taken
-    over — a crashed writer must not wedge the table forever. pid
-    liveness is a same-host signal; on a shared filesystem the CAS
-    check in ``_swap_pointer`` is the authoritative guard (the
-    reference's own commit protocol is single-writer too; its 409
-    handling — load.py:534-603 — is the analogous race acknowledgment)."""
+    """Advisory exclusive writer lock: the owner pid is written to a
+    private temp file which is then ``os.link``-ed to the lock path —
+    link() is atomic, so the lock can NEVER be observed existing-but-
+    empty (the old O_CREAT|O_EXCL-then-write scheme had a window where
+    a contender read an empty file, parsed owner=0, and broke a LIVE
+    lock). A lock whose owner pid is provably dead is broken and taken
+    over — a crashed writer must not wedge the table forever; a lock
+    whose owner cannot be read or parsed is treated as a LIVE
+    contender, never broken. pid liveness is a same-host signal; on a
+    shared filesystem the CAS check in ``_swap_pointer`` is the
+    authoritative guard (the reference's own commit protocol is
+    single-writer too; its 409 handling — load.py:534-603 — is the
+    analogous race acknowledgment)."""
     lock = os.path.join(target_dir, _LOCK)
+    tmp = os.path.join(target_dir, f".{_LOCK}.{os.getpid()}.{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(os.getpid()))
 
-    def _try_acquire() -> int | None:
+    def _try_acquire() -> bool:
         try:
-            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, lock)  # atomic create-with-content
+            return True
         except FileExistsError:
-            return None
+            return False
 
-    fd = _try_acquire()
-    if fd is None:
-        try:
-            with open(lock, encoding="utf-8") as f:
-                owner = int(f.read().strip() or "0")
-        except (OSError, ValueError):
-            owner = 0
-        alive = False
-        if owner > 0:
-            try:
-                os.kill(owner, 0)
-                alive = True
-            except ProcessLookupError:
-                alive = False
-            except PermissionError:
-                alive = True
-        if alive:
-            raise ConcurrentWriterError(
-                f"writer lock {lock} held by live pid {owner}; "
-                "concurrent merges on one target are serialized — retry"
-            )
-        with contextlib.suppress(OSError):
-            os.remove(lock)  # dead owner: break the stale lock
-        fd = _try_acquire()
-        if fd is None:  # a third writer won the break race — clean loss
-            raise ConcurrentWriterError(
-                f"writer lock {lock} contended while breaking a stale owner"
-            )
-    os.write(fd, str(os.getpid()).encode())
-    os.close(fd)
     try:
-        yield
+        if not _try_acquire():
+            released = False
+            try:
+                with open(lock, encoding="utf-8") as f:
+                    owner = int(f.read().strip())
+            except FileNotFoundError:
+                released = True  # holder finished between our attempts
+                owner = -1
+            except (OSError, ValueError):
+                # Unreadable/garbled owner cannot be attributed to a dead
+                # pid — a live contender by policy; never break this lock.
+                raise ConcurrentWriterError(
+                    f"writer lock {lock} has unreadable owner; treating as "
+                    "a live contender — retry"
+                ) from None
+            if not released:
+                if owner <= 0:
+                    raise ConcurrentWriterError(
+                        f"writer lock {lock} has non-positive owner {owner}; "
+                        "treating as a live contender — retry"
+                    )
+                alive = True
+                with contextlib.suppress(PermissionError):
+                    try:
+                        os.kill(owner, 0)
+                    except ProcessLookupError:
+                        alive = False
+                if alive:
+                    raise ConcurrentWriterError(
+                        f"writer lock {lock} held by live pid {owner}; "
+                        "concurrent merges on one target are serialized — retry"
+                    )
+                with contextlib.suppress(OSError):
+                    os.remove(lock)  # dead owner: break the stale lock
+            if not _try_acquire():  # a third writer won the race — clean loss
+                raise ConcurrentWriterError(
+                    f"writer lock {lock} contended while breaking a stale owner"
+                )
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(lock)
     finally:
         with contextlib.suppress(OSError):
-            os.remove(lock)
+            os.remove(tmp)
 
 
 def _current_snapshot(target_dir: str) -> str | None:

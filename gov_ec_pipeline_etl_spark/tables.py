@@ -33,6 +33,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — no Spark job, no scan.
+
+    Plan-construction-time sizing decisions (e.g. the LSH strategy pick
+    in s02) must not trigger cluster actions: registry enumeration or
+    plan-shape inspection would otherwise run a full count per call.
+    Footer reads are O(files), the same metadata any catalog holds."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one canonical parquet table with deterministic timestamp
     semantics.

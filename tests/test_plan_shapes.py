@@ -160,5 +160,6 @@ def test_banded_lsh_has_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    for p in getattr(df, "_persisted_inputs", []):
-        p.unpersist()
+    from gov_ec_pipeline_etl_spark.caching import unpersist_inputs
+
+    unpersist_inputs(df)
