@@ -385,6 +385,100 @@ def simhash_pairs(
     )
 
 
+def simhash_diversity(fp: DataFrame) -> float:
+    """Distinct-fingerprint ratio of a ``simhash_table`` result — the
+    cheap density statistic (one aggregate over the already-persisted
+    fp table). Low diversity means doc-level pair emission is
+    O(n²·(1−diversity)): the sf1 scale-proof measured 130.8M pairs from
+    100k docs on the 31-word synthetic vocabulary."""
+    row = fp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("fp").alias("d"),
+    ).first()
+    return (row["d"] / row["n"]) if row["n"] else 1.0
+
+
+def simhash_group_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    chunks: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Density-proof SimHash near-dup summary: pairs of FINGERPRINT
+    GROUPS, not documents — the structural guard for low-diversity
+    corpora where ``simhash_pairs``'s doc-level output goes quadratic
+    (the round-4 sf1 finding: the RESULT, not the computation, was the
+    bottleneck).
+
+    Identical-fingerprint documents collapse into one group row first;
+    chunk-LSH candidate generation and Hamming verification then run
+    over DISTINCT fingerprints only. Output schema
+    ``(fp_a, fp_b, hamming, docs_a, docs_b, n_pairs)`` where diagonal
+    rows (fp_a = fp_b, hamming 0) carry the C(n,2) within-group pairs
+    and cross rows carry docs_a·docs_b pairs.
+
+    LOSSLESS: chunk membership is a function of the fingerprint alone,
+    so the doc-level candidate set of ``simhash_pairs`` is exactly this
+    result exploded by group membership — Σ n_pairs equals the
+    doc-level row count, and joining each side back to the fingerprint
+    table reproduces every pair (unit-tested). Output is bounded by
+    distinct-fingerprint candidate pairs: n_distinct² / 2^chunk_bits
+    expected, independent of corpus row count — on a corpus of 100k
+    docs with 1k distinct fingerprints this emits ≤ ~500k rows where
+    the doc-level form emits ~10⁸."""
+    chunk_bits = SIMHASH_BITS // chunks
+    fp = simhash_table(df, id_col, text_col, portable)
+    groups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).persist()
+    groups.count()  # materialization barrier: feeds diag + both join sides
+    diag = groups.where(F.col("n_docs") >= 2).select(
+        F.col("fp").alias("fp_a"),
+        F.col("fp").alias("fp_b"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.col("n_docs").alias("docs_a"),
+        F.col("n_docs").alias("docs_b"),
+        F.expr("n_docs * (n_docs - 1) div 2").alias("n_pairs"),
+    )
+    chunked = groups.select(
+        "fp",
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("fp"), i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("fp", "n_docs", "c.chunk_idx", "c.chunk_val")
+    cross = (
+        chunked.alias("a")
+        .join(
+            chunked.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.fp") < F.col("b.fp")),
+        )
+        .select(
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).cast("int").alias("hamming"),
+            F.col("a.n_docs").alias("docs_a"),
+            F.col("b.n_docs").alias("docs_b"),
+            (F.col("a.n_docs") * F.col("b.n_docs")).alias("n_pairs"),
+        )
+        .dropDuplicates(["fp_a", "fp_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return hold(diag.unionByName(cross), groups)
+
+
 # --- n-gram Jaccard via inverted index -----------------------------------
 
 

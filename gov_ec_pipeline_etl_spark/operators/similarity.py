@@ -143,6 +143,56 @@ def bucket_key(vec: str, planes: list[list[float]]) -> Column:
     return F.expr("CAST(0 AS BIGINT) + " + " + ".join(bits))
 
 
+def band_keys_udf(planes_per_band: list[list[list[float]]]):
+    """All band keys in ONE Arrow-batched matrix multiply.
+
+    The literal-SQL band kernel (``bucket_key`` per band) is dim ×
+    planes × bands expression terms — ~3000 at 64 dims × 12 planes × 4
+    bands — and Catalyst re-analyzes that tree on every call: a ~10 s
+    driver-side constant PER QUERY at sf1 (round-4 PERF audit), pure
+    plan tax that grows with dims × planes. Here the planes become one
+    (dim, bands·planes) numpy matrix closed over by a pandas UDF: per
+    batch it is a single BLAS matmul + sign test + per-band bit-pack —
+    O(rows · dim · planes) arithmetic with a constant-size plan.
+
+    Sign parity with the literal kernel is not required for
+    correctness: band keys only GENERATE candidates (exact cosine
+    rerank follows), and parallel vectors — the pairs the ≥0.999
+    threshold admits — get identical projections under any summation
+    order, so banded results stay equal to the single-table form
+    (regression-tested). Returns array<bigint>, one key per band;
+    consume with posexplode for (band, key) rows."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bands = len(planes_per_band)
+    per_band = len(planes_per_band[0])
+    mat = np.array(
+        [p for band in planes_per_band for p in band], dtype=np.float64
+    ).T  # (dim, bands*per_band)
+    weights = (1 << np.arange(per_band, dtype=np.int64))
+
+    def _keys(vcol):
+        if not len(vcol):
+            return pd.Series([], dtype=object)
+        v = np.vstack(vcol.to_numpy())  # (n, dim)
+        signs = (v @ mat) >= 0.0  # (n, bands*per_band)
+        keys = np.stack(
+            [
+                signs[:, b * per_band : (b + 1) * per_band].astype(np.int64)
+                @ weights
+                for b in range(bands)
+            ],
+            axis=1,
+        )  # (n, bands)
+        return pd.Series(list(keys))
+
+    # real annotation objects: `from __future__ import annotations` turns
+    # inline hints into strings pandas_udf cannot resolve here
+    _keys.__annotations__ = {"vcol": pd.Series, "return": pd.Series}
+    return pandas_udf(_keys, "array<bigint>")
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -248,24 +298,18 @@ def cosine_near_pairs(
         planes_per_band = [
             hyperplanes(dim, n_planes, seed + 101 * b) for b in range(bands)
         ]
+        # All band keys in one Arrow matmul UDF (constant-size plan) —
+        # the literal-SQL band kernel was ~3000 expression terms whose
+        # Catalyst analysis alone cost ~10 s per query at sf1.
         keyed = v.select(
             "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            bucket_key("v", p).alias("key"),
-                        )
-                        for b, p in enumerate(planes_per_band)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("id", "bk.band", "bk.key")
-        # the band-key projection is a ~3000-term literal expression —
-        # persist its (id, band, key) output (4 tiny rows per vector)
-        # so the self-join's two sides and the analyzer see a cached
-        # leaf, not two more evaluations/copies of the giant kernel
+            F.posexplode(band_keys_udf(planes_per_band)(F.col("v"))).alias(
+                "band", "key"
+            ),
+        )
+        # persist the (id, band, key) rows (4 tiny rows per vector) so
+        # the self-join's two sides read a cached leaf instead of two
+        # more Arrow round-trips
         keyed = keyed.persist()
         keyed.count()
         cand = (

@@ -573,3 +573,57 @@ def test_codec_property_roundtrip():
 
     ppm_case()
     wav_case()
+
+
+def test_simhash_group_pairs_bounded_and_lossless(spark):
+    """The density guard from the round-4 sf1 finding (130.8M doc pairs
+    on a low-diversity corpus): on a corpus where many documents share
+    identical fingerprints, ``simhash_group_pairs`` must emit rows
+    bounded by DISTINCT-fingerprint pairs — while losslessly carrying
+    the full doc-pair multiplicity: Σ n_pairs == |simhash_pairs| and
+    exploding groups reproduces the exact pair set."""
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        simhash_diversity,
+        simhash_group_pairs,
+        simhash_table,
+    )
+
+    # 120 docs drawn from 6 template texts -> 6 distinct fingerprints;
+    # doc-level pairs are O(n^2) within each 20-doc identical group.
+    templates = [
+        "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon eta",
+        "one two three four five six seven", "one two three four five six eight",
+        "spark catalyst tungsten codegen shuffle", "totally unrelated words here now",
+    ]
+    rows = [(i, templates[i % 6]) for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fp = simhash_table(df, "doc_id", "text")
+    assert simhash_diversity(fp) <= 6 / 120  # the cheap stat flags density
+
+    doc_pairs = simhash_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    with released(simhash_group_pairs(df, "doc_id", "text", max_hamming=8)) as g:
+        grouped = g.collect()
+
+    # bounded: at most C(6,2)+6 = 21 rows regardless of the 120-doc corpus
+    assert len(grouped) <= 21
+    assert len(doc_pairs) > 10 * len(grouped)  # the doc form IS quadratic
+    # lossless multiplicity
+    assert sum(r.n_pairs for r in grouped) == len(doc_pairs)
+    # exploding group rows via the fingerprint table reproduces the pair set
+    fps = {r.id: r.fp for r in fp.collect()}
+    by_fp: dict[int, list[int]] = {}
+    for i, f in fps.items():
+        by_fp.setdefault(f, []).append(i)
+    rebuilt = set()
+    for r in grouped:
+        if r.fp_a == r.fp_b:
+            ids = by_fp[r.fp_a]
+            rebuilt |= {(a, b) for a in ids for b in ids if a < b}
+        else:
+            rebuilt |= {
+                (min(a, b), max(a, b))
+                for a in by_fp[r.fp_a] for b in by_fp[r.fp_b]
+            }
+    assert rebuilt == {(r.id_a, r.id_b) for r in doc_pairs}

@@ -1,0 +1,188 @@
+"""One-command reproducible scale proof: generate → gate → bench → JSON.
+
+The round-4 sf1/sf3 scale runs found two real defects (a decimal drift,
+a quadratic self-join) but their evidence lived in deleted parquet and
+/tmp logs. This harness makes the proof reproducible from a clean tree:
+
+    python tools/scale_gate.py --sf 1                  # gate + bench, ~40 min
+    python tools/scale_gate.py --sf 3 --bench-only     # bench trajectory point
+    python tools/scale_gate.py --sf 0.1 --out SCALE_smoke.json
+
+Steps (all subprocesses, so each gets the same fresh-JVM conditions the
+verify skill documents):
+  1. deterministic data generation via tools/gen_testdata.py (seed and
+     row-count parameters are committed code; the JSON records both),
+  2. the full DuckDB-oracle gate (`python -m gov_ec_pipeline_etl_spark.oracle`),
+     with the standard sf>=0.5 exclusions recorded BY NAME WITH REASON —
+     no silent caps,
+  3. bench.py at the generated directory,
+  4. one JSON summary written to --out (default SCALE_sf{sf}.json at the
+     repo root) — commit it; that file IS the scale evidence.
+
+Skipped-by-default at sf>=0.5 (both verified hash-green at every
+smaller scale):
+  - d03_simhash: on the 31-word synthetic vocabulary its RESULT is
+    ~130M pairs at sf1 — diffing it is harness cost, not engine cost
+    (the density-guarded variant u18 stays in the gate at every scale);
+  - s02_embedding_neardup: its oracle is the intentionally-quadratic
+    brute-force scan (>20 min in DuckDB at sf1).
+Pass --rows-only-skips to still run the skipped queries' engine side
+and record their row counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_SKIPS = {
+    "d03_simhash": "result is O(n^2/400) pairs on the 31-word synthetic "
+    "vocab (~130M rows at sf1); diff cost is harness-bound, engine "
+    "verified rows-level and hash-green at <=sf0.1",
+    "s02_embedding_neardup": "oracle is the intentionally-quadratic "
+    "brute-force scan (>20 min in DuckDB at sf1); engine hash-green at "
+    "<=sf0.1",
+}
+_LINE = re.compile(r"^(\w+): (OK|MISMATCH|ERROR|rows-only)\b(.*?) \[([0-9.]+)s\]$")
+
+
+def _gen(sf: float, outdir: str) -> dict[str, int]:
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_testdata
+
+    t0 = time.time()
+    gen_testdata.generate(sf, outdir)
+    rows = {}
+    import pyarrow.parquet as pq
+
+    for fn in sorted(os.listdir(outdir)):
+        if fn.endswith(".parquet"):
+            rows[fn[:-8]] = pq.ParquetFile(os.path.join(outdir, fn)).metadata.num_rows
+    return {"seed": gen_testdata.SEED, "rows": rows, "wall_sec": round(time.time() - t0, 1)}
+
+
+def _gate(sf_dir: str, skips: dict[str, str]) -> dict:
+    cmd = [sys.executable, "-m", "gov_ec_pipeline_etl_spark.oracle", sf_dir]
+    for name in sorted(skips):
+        cmd += ["--skip", name]
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, check=False
+    )
+    results, failures = {}, []
+    for line in proc.stdout.splitlines():
+        m = _LINE.match(line.strip())
+        if not m:
+            continue
+        name, status, detail, secs = m.groups()
+        results[name] = {"status": status, "sec": float(secs)}
+        if status in ("MISMATCH", "ERROR"):
+            failures.append(f"{name}: {status}{detail}")
+    return {
+        "exit_code": proc.returncode,
+        "n_run": len(results),
+        "n_ok": sum(1 for r in results.values() if r["status"] == "OK"),
+        "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows-only"),
+        "failures": failures,
+        "skipped": skips,
+        "wall_sec": round(time.time() - t0, 1),
+        "per_query_sec": {n: r["sec"] for n, r in sorted(results.items())},
+    }
+
+
+def _bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, env=env,
+        capture_output=True, text=True, check=False,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": f"bench produced no JSON (exit {proc.returncode})"}
+
+
+def _rows_only(sf_dir: str, names: list[str]) -> dict[str, int]:
+    cmd = [sys.executable, "-", sf_dir, *names]
+    script = (
+        "import sys\n"
+        "from gov_ec_pipeline_etl_spark.plans import all_queries\n"
+        "from gov_ec_pipeline_etl_spark.session import get_spark\n"
+        "from gov_ec_pipeline_etl_spark.caching import released\n"
+        "spark = get_spark('scale-gate-rows')\n"
+        "qs = all_queries()\n"
+        "for n in sys.argv[2:]:\n"
+        "    with released(qs[n].spark(spark, sys.argv[1])) as df:\n"
+        "        print(f'ROWS {n} {df.count()}', flush=True)\n"
+    )
+    proc = subprocess.run(
+        cmd, cwd=REPO, input=script, capture_output=True, text=True, check=False
+    )
+    out = {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("ROWS "):
+            _, name, n = line.split()
+            out[name] = int(n)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf", type=float, required=True)
+    ap.add_argument("--out", default=None, help="summary JSON path")
+    ap.add_argument("--data-dir", default=None, help="generation dir (default .localdata/sf{sf})")
+    ap.add_argument("--keep-data", action="store_true", help="keep generated parquet")
+    ap.add_argument("--bench-only", action="store_true", help="skip the oracle gate")
+    ap.add_argument("--gate-only", action="store_true", help="skip the bench")
+    ap.add_argument(
+        "--rows-only-skips", action="store_true",
+        help="run the skipped queries' engine side and record row counts",
+    )
+    args = ap.parse_args()
+
+    sf_tag = f"{args.sf:g}"
+    data_dir = args.data_dir or os.path.join(REPO, ".localdata", f"sf{sf_tag}")
+    out_path = args.out or os.path.join(REPO, f"SCALE_sf{sf_tag}.json")
+    summary: dict = {"sf": args.sf, "data_dir": data_dir, "generator": None}
+
+    print(f"[scale_gate] generating sf={sf_tag} at {data_dir}", flush=True)
+    summary["generator"] = _gen(args.sf, data_dir)
+
+    skips = SCALE_SKIPS if args.sf >= 0.5 else {}
+    try:
+        if not args.bench_only:
+            print(f"[scale_gate] oracle gate ({len(skips)} skips)", flush=True)
+            summary["gate"] = _gate(data_dir, skips)
+            print(
+                f"[scale_gate] gate: {summary['gate']['n_ok']} OK / "
+                f"{summary['gate']['n_run']} run, exit {summary['gate']['exit_code']}",
+                flush=True,
+            )
+            if args.rows_only_skips and skips:
+                summary["gate"]["skipped_rows"] = _rows_only(data_dir, sorted(skips))
+        if not args.gate_only:
+            print("[scale_gate] bench", flush=True)
+            summary["bench"] = _bench(data_dir)
+    finally:
+        if not args.keep_data:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            summary["data_dir"] += " (removed; regenerate with the committed seed)"
+        with open(out_path, "w", encoding="utf-8") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"[scale_gate] wrote {out_path}", flush=True)
+
+    gate_bad = bool(summary.get("gate", {}).get("exit_code"))
+    bench_bad = "error" in summary.get("bench", {})
+    return 1 if (gate_bad or bench_bad) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
