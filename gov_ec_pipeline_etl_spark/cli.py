@@ -6,6 +6,12 @@ plus run/bench entry points).
     python -m gov_ec_pipeline_etl_spark.cli state diff  <state.json> <catalog.json>
     python -m gov_ec_pipeline_etl_spark.cli run <config.yaml> <catalog.json> <work_dir>
     python -m gov_ec_pipeline_etl_spark.cli oracle [sf_dir] [names...]
+    python -m gov_ec_pipeline_etl_spark.cli index build   <index_dir> <docs.parquet>
+    python -m gov_ec_pipeline_etl_spark.cli index probe   <index_dir> <docs.parquet>
+    python -m gov_ec_pipeline_etl_spark.cli index ingest  <index_dir> <docs.parquet>
+    python -m gov_ec_pipeline_etl_spark.cli index pairs   <index_dir>
+    python -m gov_ec_pipeline_etl_spark.cli index compact <index_dir>
+    python -m gov_ec_pipeline_etl_spark.cli index stats   <index_dir>
 """
 
 from __future__ import annotations
@@ -38,6 +44,24 @@ def main(argv: list[str] | None = None) -> int:
     po = sub.add_parser("oracle", help="DuckDB parity gate")
     po.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     po.add_argument("names", nargs="*")
+
+    # stored n-gram index lifecycle: build -> probe/ingest -> compact.
+    # The operators existed as query-level APIs; this makes them
+    # operable (r4 VERDICT #5).
+    pi = sub.add_parser("index", help="stored n-gram inverted index lifecycle")
+    pi.add_argument(
+        "action", choices=["build", "probe", "ingest", "pairs", "compact", "stats"]
+    )
+    pi.add_argument("index_path")
+    pi.add_argument("docs", nargs="?", help="docs parquet (build/probe/ingest)")
+    pi.add_argument("--id-col", default="doc_id")
+    pi.add_argument("--text-col", default="text")
+    pi.add_argument("-k", type=int, default=3)
+    pi.add_argument("--max-df", type=int, default=50)
+    pi.add_argument("--hash-dirs", type=int, default=16)
+    pi.add_argument("--threshold", type=float, default=0.5)
+    pi.add_argument("--files-per-partition", type=int, default=1)
+    pi.add_argument("--limit", type=int, default=20, help="rows printed (probe/pairs)")
 
     # reference get_status {object|compose}: pull any object over HTTP
     # with the retrying session and an atomic tmp-write (get_status.py:
@@ -126,6 +150,66 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0 if result.status == "ok" else 1
+
+    if args.cmd == "index":
+        from gov_ec_pipeline_etl_spark.caching import released
+        from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+            append_to_ngram_index,
+            compact_ngram_index,
+            ngram_incremental_against_index,
+            ngram_pairs_from_index,
+            read_index_meta,
+            read_ngram_index,
+            write_ngram_index,
+        )
+        from gov_ec_pipeline_etl_spark.session import get_spark
+
+        spark = get_spark("gov-ec-pipeline-etl-index")
+        if args.action == "build":
+            docs = spark.read.parquet(args.docs)
+            write_ngram_index(
+                docs, args.id_col, args.text_col, args.index_path,
+                k=args.k, max_df=args.max_df, hash_dirs=args.hash_dirs,
+            )
+            print(json.dumps({"built": args.index_path, **read_index_meta(args.index_path)}))
+            return 0
+        meta = read_index_meta(args.index_path)
+        if args.action == "stats":
+            idx = read_ngram_index(spark, args.index_path)
+            print(json.dumps({
+                **meta,
+                "rows": idx.count(),
+                "docs": idx.select("id").distinct().count(),
+                "files": len(idx.inputFiles()),
+            }))
+            return 0
+        if args.action == "compact":
+            print(json.dumps(compact_ngram_index(
+                spark, args.index_path, args.files_per_partition
+            )))
+            return 0
+        if args.action == "ingest":
+            docs = spark.read.parquet(args.docs)
+            n = append_to_ngram_index(
+                docs, spark, args.index_path, args.id_col, args.text_col
+            )
+            print(json.dumps({"appended_rows": n}))
+            return 0
+        if args.action == "probe":
+            docs = spark.read.parquet(args.docs)
+            out = ngram_incremental_against_index(
+                docs, spark, args.index_path, args.id_col, args.text_col,
+                k=meta["k"], threshold=args.threshold, portable=meta["portable"],
+            )
+        else:  # pairs
+            out = ngram_pairs_from_index(spark, args.index_path, args.threshold)
+        with released(out) as df:
+            rows = df.limit(args.limit).collect()
+            total = df.count()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        print(json.dumps({"total_rows": total, "printed": len(rows)}))
+        return 0
 
     if args.cmd == "oracle":
         from gov_ec_pipeline_etl_spark.oracle import run_all

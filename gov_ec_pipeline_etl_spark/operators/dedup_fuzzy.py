@@ -673,6 +673,113 @@ def write_ngram_index(
         .parquet(path + "/kept")
     )
     sh.unpersist()
+    _write_index_meta(
+        path, {"k": k, "max_df": max_df, "portable": portable, "hash_dirs": hash_dirs}
+    )
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    """Persist the index's build parameters next to its data so lifecycle
+    operations (ingest/probe/compact, the CLI) are self-describing — a
+    probe with a different k or hash would silently return garbage."""
+    import json as _json
+    import os as _os
+
+    tmp = _os.path.join(path, "_meta.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        _json.dump(meta, f, sort_keys=True)
+    _os.replace(tmp, _os.path.join(path, "_meta.json"))
+
+
+def read_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_meta.json"), encoding="utf-8") as f:
+        return _json.load(f)
+
+
+def append_to_ngram_index(
+    arrivals: DataFrame,
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Extend a stored n-gram index with an arrival batch — the ingest
+    half of the index lifecycle (build → probe/ingest → compact).
+
+    Arrivals are shingled with the index's OWN build parameters
+    (``_meta.json``) and cut by the STORED head set, then appended into
+    the same hb directory layout — per-batch work is linear in the
+    batch, the corpus rows are never rewritten. The head set is frozen
+    between rebuilds (the standard cached-stopword-list trade every
+    deployed inverted index makes): shingles that become heavy only
+    through arrivals keep indexing until a rebuild recomputes the cut.
+    Returns the number of appended (id, h60) rows."""
+    meta = read_index_meta(path)
+    head = read_ngram_head(spark, path)
+    sh_new = (
+        shingle_rows(arrivals, id_col, text_col, meta["k"])
+        .select("id", hash64(F.col("s"), 0, meta["portable"]).alias("h60"))
+        .join(F.broadcast(head), "h60", "left_anti")
+        .select(F.col("id").cast("long").alias("id"), "h60")
+        .withColumn("hb", F.pmod("h60", F.lit(meta["hash_dirs"])))
+        .persist()
+    )
+    n = sh_new.count()
+    sh_new.repartition("hb").write.mode("append").partitionBy("hb").parquet(
+        path + "/kept"
+    )
+    sh_new.unpersist()
+    return n
+
+
+def compact_ngram_index(
+    spark: SparkSession, path: str, files_per_partition: int = 1
+) -> dict[str, int]:
+    """Rewrite a stored index's ``kept`` rows with ``files_per_partition``
+    files per hb directory — the maintenance job for append-heavy
+    indexes, where each ingest batch adds one small file set per touched
+    hb dir and the FILE COUNT (not bytes) becomes the probe bottleneck.
+    The rewrite lands in a sibling directory and is promoted with two
+    atomic renames, so a crash leaves either the old or the new layout,
+    never a half-written index. Query results are bit-identical across
+    the compaction (rows are moved, never changed) — lifecycle-tested."""
+    import os as _os
+    import uuid as _uuid
+
+    kept_dir = path + "/kept"
+    current = spark.read.schema("id bigint, h60 bigint, hb int").parquet(kept_dir)
+    files_before = len(current.inputFiles())
+    new_dir = f"{kept_dir}.compact-{_uuid.uuid4().hex[:12]}"
+    (
+        current.repartition("hb")
+        .write.mode("overwrite")
+        .option(
+            "maxRecordsPerFile",
+            max(1, -(-_estimate_max_hb_rows(current) // files_per_partition)),
+        )
+        .partitionBy("hb")
+        .parquet(new_dir)
+    )
+    old_dir = f"{kept_dir}.old-{_uuid.uuid4().hex[:12]}"
+    _os.rename(kept_dir, old_dir)
+    _os.rename(new_dir, kept_dir)
+    import shutil as _shutil
+
+    _shutil.rmtree(old_dir, ignore_errors=True)
+    files_after = len(
+        spark.read.schema("id bigint, h60 bigint, hb int").parquet(kept_dir).inputFiles()
+    )
+    return {"files_before": files_before, "files_after": files_after}
+
+
+def _estimate_max_hb_rows(kept: DataFrame) -> int:
+    """Largest hb partition's row count — parquet-footer-cheap (count
+    aggregates never read data columns)."""
+    row = kept.groupBy("hb").count().agg(F.max("count")).first()
+    return int(row[0] or 1)
 
 
 def read_ngram_index(spark: SparkSession, path: str) -> DataFrame:

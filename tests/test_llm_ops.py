@@ -627,3 +627,60 @@ def test_simhash_group_pairs_bounded_and_lossless(spark):
                 for a in by_fp[r.fp_a] for b in by_fp[r.fp_b]
             }
     assert rebuilt == {(r.id_a, r.id_b) for r in doc_pairs}
+
+
+def test_ngram_index_lifecycle_cli(spark, tmp_path, capsys):
+    """The stored-index lifecycle a user actually operates (r4 VERDICT
+    #5), driven through the CLI: build → probe (u17 shape) → ingest →
+    pairs → compact → re-probe/re-pairs. Compaction moves rows between
+    files, never changes them — results must be BIT-identical across
+    it, and the file count must drop after append-heavy ingest."""
+    import json as _json
+
+    from gov_ec_pipeline_etl_spark.cli import main
+
+    corpus = [(i, f"alpha beta gamma delta epsilon word{i} zeta eta theta") for i in range(40)]
+    arrivals = [
+        (100, "alpha beta gamma delta epsilon word7 zeta eta theta"),  # dup of 7
+        (101, "totally different new content nothing shared here at all"),
+    ]
+    corpus_pq, arrivals_pq = str(tmp_path / "corpus"), str(tmp_path / "arrivals")
+    spark.createDataFrame(corpus, ["doc_id", "text"]).write.parquet(corpus_pq)
+    spark.createDataFrame(arrivals, ["doc_id", "text"]).write.parquet(arrivals_pq)
+    idx = str(tmp_path / "idx")
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return capsys.readouterr().out.strip().splitlines()
+
+    run("index", "build", idx, corpus_pq, "--max-df", "30")
+
+    def probe():
+        lines = run("index", "probe", idx, arrivals_pq, "--limit", "1000")
+        return sorted(lines[:-1]), _json.loads(lines[-1])["total_rows"]
+
+    def pairs():
+        lines = run("index", "pairs", idx, "--limit", "100000")
+        return sorted(lines[:-1]), _json.loads(lines[-1])["total_rows"]
+
+    probe_rows0, probe_n0 = probe()
+    assert probe_n0 >= 1  # the planted dup of doc 7 is found
+    assert any('"new_id": 100' in ln and '"corpus_id": 7' in ln for ln in probe_rows0)
+
+    run("index", "ingest", idx, arrivals_pq)
+    # post-ingest snapshots are the compaction-invariance reference
+    probe_rows, probe_n = probe()
+    pairs_rows, pairs_n = pairs()
+    # ingested arrival 100 now pairs with corpus doc 7 inside the index
+    assert any('"id_a": 7' in ln and '"id_b": 100' in ln for ln in pairs_rows)
+
+    stats_before = _json.loads(run("index", "stats", idx)[-1])
+    result = _json.loads(run("index", "compact", idx)[-1])
+    assert result["files_after"] < result["files_before"]
+    stats_after = _json.loads(run("index", "stats", idx)[-1])
+    assert stats_after["rows"] == stats_before["rows"]
+    assert stats_after["docs"] == stats_before["docs"]
+
+    # bit-identical results across the compaction
+    assert probe() == (probe_rows, probe_n)
+    assert pairs() == (pairs_rows, pairs_n)
