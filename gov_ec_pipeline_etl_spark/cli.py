@@ -27,6 +27,135 @@ def _load_catalog(path: str) -> list[dict]:
     return data["resources"] if isinstance(data, dict) else data
 
 
+def _index_cmd(args) -> int:
+    """Stored-index lifecycle dispatch: three index kinds, one contract
+    (build → probe/ingest → compact → stats), each self-describing via
+    its ``_meta.json`` so only ``build`` ever needs ``--kind``."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators import dedup_fuzzy as dd
+    from gov_ec_pipeline_etl_spark.operators import similarity as sim
+    from gov_ec_pipeline_etl_spark.session import get_spark
+
+    spark = get_spark("gov-ec-pipeline-etl-index")
+    if args.action == "build":
+        kind = args.kind or "ngram"
+        args.id_col = args.id_col or ("vec_id" if kind == "ivf" else "doc_id")
+        docs = spark.read.parquet(args.docs)
+        if kind == "ngram":
+            dd.write_ngram_index(
+                docs, args.id_col, args.text_col, args.index_path,
+                k=args.k, max_df=args.max_df, hash_dirs=args.hash_dirs,
+            )
+        elif kind == "minhash":
+            dd.build_sketch_index(
+                docs, args.id_col, args.text_col, args.index_path, k=args.k
+            )
+        else:
+            sim.build_ivf(
+                docs, args.index_path, args.k_centroids, args.id_col, args.vec_col
+            )
+        meta = dd.read_index_meta(args.index_path)
+        print(json.dumps({"built": args.index_path, **meta}))
+        return 0
+
+    meta = dd.read_index_meta(args.index_path)
+    kind = meta.get("kind", "ngram")
+    args.id_col = args.id_col or ("vec_id" if kind == "ivf" else "doc_id")
+
+    if args.action == "stats":
+        if kind == "ngram":
+            idx = dd.read_ngram_index(spark, args.index_path)
+            ids = "id"
+        elif kind == "minhash":
+            idx = dd.read_sketch_index(spark, args.index_path)
+            ids = "id"
+        else:
+            idx = spark.read.parquet(args.index_path + "/data")
+            ids = "vec_id"
+        print(json.dumps({
+            **meta,
+            "rows": idx.count(),
+            "docs": idx.select(ids).distinct().count(),
+            "files": len(idx.inputFiles()),
+        }))
+        return 0
+
+    if args.action == "compact":
+        fn = {
+            "ngram": dd.compact_ngram_index,
+            "minhash": dd.compact_sketch_index,
+            "ivf": sim.compact_ivf,
+        }[kind]
+        print(json.dumps(fn(spark, args.index_path, args.files_per_partition)))
+        return 0
+
+    if args.action == "ingest":
+        docs = spark.read.parquet(args.docs)
+        if kind == "ngram":
+            n = dd.append_to_ngram_index(
+                docs, spark, args.index_path, args.id_col, args.text_col
+            )
+        elif kind == "minhash":
+            n = dd.append_to_sketch_index(
+                docs, spark, args.index_path, args.id_col, args.text_col
+            )
+        else:
+            n = sim.append_to_ivf(
+                docs, spark, args.index_path, args.id_col, args.vec_col
+            )
+        print(json.dumps({"appended_rows": n}))
+        return 0
+
+    # probe / pairs
+    if args.action == "probe":
+        docs = spark.read.parquet(args.docs)
+        if kind == "ngram":
+            out = dd.ngram_incremental_against_index(
+                docs, spark, args.index_path, args.id_col, args.text_col,
+                k=meta["k"], threshold=args.threshold, portable=meta["portable"],
+            )
+        elif kind == "minhash":
+            out = dd.incremental_neardup_against(
+                docs, dd.read_sketch_index(spark, args.index_path),
+                args.id_col, args.text_col,
+                k=meta["k"], threshold=args.threshold,
+            )
+        else:
+            out = sim.ivf_topk(
+                spark, args.index_path, docs,
+                nprobe=args.nprobe, k=args.topk,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+    else:  # pairs
+        if kind == "ngram":
+            out = dd.ngram_pairs_from_index(spark, args.index_path, args.threshold)
+        elif kind == "minhash":
+            sk = dd.read_sketch_index(spark, args.index_path)
+            b = dd.minhash_band_keys(sk)
+            cand = (
+                b.withColumnsRenamed({"id": "id_a"})
+                .join(
+                    b.withColumnsRenamed({"id": "id_b"}), ["band_idx", "band_key"]
+                )
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            out = dd.jaccard_verify(cand, sk, args.threshold, on="h60")
+        else:
+            print("index pairs is not defined for kind=ivf (use probe)", file=sys.stderr)
+            return 2
+    with released(out) as df:
+        rows = df.limit(args.limit).collect()
+        total = df.count()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(json.dumps({"total_rows": total, "printed": len(rows)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gov_ec_pipeline_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -48,17 +177,30 @@ def main(argv: list[str] | None = None) -> int:
     # stored n-gram index lifecycle: build -> probe/ingest -> compact.
     # The operators existed as query-level APIs; this makes them
     # operable (r4 VERDICT #5).
-    pi = sub.add_parser("index", help="stored n-gram inverted index lifecycle")
+    pi = sub.add_parser(
+        "index", help="stored index lifecycle (n-gram / minhash / ivf)"
+    )
     pi.add_argument(
         "action", choices=["build", "probe", "ingest", "pairs", "compact", "stats"]
     )
     pi.add_argument("index_path")
-    pi.add_argument("docs", nargs="?", help="docs parquet (build/probe/ingest)")
-    pi.add_argument("--id-col", default="doc_id")
+    pi.add_argument("docs", nargs="?", help="input parquet (build/probe/ingest)")
+    pi.add_argument(
+        "--kind", choices=["ngram", "minhash", "ivf"], default=None,
+        help="index kind (build only; later actions read it from _meta.json)",
+    )
+    pi.add_argument(
+        "--id-col", default=None,
+        help="defaults to doc_id (ngram/minhash) or vec_id (ivf)",
+    )
     pi.add_argument("--text-col", default="text")
+    pi.add_argument("--vec-col", default="embedding")
     pi.add_argument("-k", type=int, default=3)
     pi.add_argument("--max-df", type=int, default=50)
     pi.add_argument("--hash-dirs", type=int, default=16)
+    pi.add_argument("--k-centroids", type=int, default=8)
+    pi.add_argument("--nprobe", type=int, default=2)
+    pi.add_argument("--topk", type=int, default=5)
     pi.add_argument("--threshold", type=float, default=0.5)
     pi.add_argument("--files-per-partition", type=int, default=1)
     pi.add_argument("--limit", type=int, default=20, help="rows printed (probe/pairs)")
@@ -152,64 +294,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if result.status == "ok" else 1
 
     if args.cmd == "index":
-        from gov_ec_pipeline_etl_spark.caching import released
-        from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
-            append_to_ngram_index,
-            compact_ngram_index,
-            ngram_incremental_against_index,
-            ngram_pairs_from_index,
-            read_index_meta,
-            read_ngram_index,
-            write_ngram_index,
-        )
-        from gov_ec_pipeline_etl_spark.session import get_spark
-
-        spark = get_spark("gov-ec-pipeline-etl-index")
-        if args.action == "build":
-            docs = spark.read.parquet(args.docs)
-            write_ngram_index(
-                docs, args.id_col, args.text_col, args.index_path,
-                k=args.k, max_df=args.max_df, hash_dirs=args.hash_dirs,
-            )
-            print(json.dumps({"built": args.index_path, **read_index_meta(args.index_path)}))
-            return 0
-        meta = read_index_meta(args.index_path)
-        if args.action == "stats":
-            idx = read_ngram_index(spark, args.index_path)
-            print(json.dumps({
-                **meta,
-                "rows": idx.count(),
-                "docs": idx.select("id").distinct().count(),
-                "files": len(idx.inputFiles()),
-            }))
-            return 0
-        if args.action == "compact":
-            print(json.dumps(compact_ngram_index(
-                spark, args.index_path, args.files_per_partition
-            )))
-            return 0
-        if args.action == "ingest":
-            docs = spark.read.parquet(args.docs)
-            n = append_to_ngram_index(
-                docs, spark, args.index_path, args.id_col, args.text_col
-            )
-            print(json.dumps({"appended_rows": n}))
-            return 0
-        if args.action == "probe":
-            docs = spark.read.parquet(args.docs)
-            out = ngram_incremental_against_index(
-                docs, spark, args.index_path, args.id_col, args.text_col,
-                k=meta["k"], threshold=args.threshold, portable=meta["portable"],
-            )
-        else:  # pairs
-            out = ngram_pairs_from_index(spark, args.index_path, args.threshold)
-        with released(out) as df:
-            rows = df.limit(args.limit).collect()
-            total = df.count()
-        for r in rows:
-            print(json.dumps(r.asDict(), default=str))
-        print(json.dumps({"total_rows": total, "printed": len(rows)}))
-        return 0
+        return _index_cmd(args)
 
     if args.cmd == "oracle":
         from gov_ec_pipeline_etl_spark.oracle import run_all

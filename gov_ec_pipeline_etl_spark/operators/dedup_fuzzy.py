@@ -586,6 +586,61 @@ def read_sketch_table(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def build_sketch_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 3,
+    portable: bool = True,
+) -> None:
+    """MinHash-sketch index lifecycle root: sketch the corpus once and
+    store it under ``path/sketch`` with self-describing ``_meta.json``
+    (same lifecycle contract as the n-gram index: build →
+    probe/ingest → compact, all CLI-operable)."""
+    sh = minhash_sketch(df, id_col, text_col, k, portable)
+    # ids stored as bigint so the pinned read schema holds across builds
+    write_sketch_table(
+        sh.select(F.col("id").cast("long").alias("id"), "h60"), path + "/sketch"
+    )
+    sh.unpersist()
+    _write_index_meta(path, {"kind": "minhash", "k": k, "portable": portable})
+
+
+def read_sketch_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema("id bigint, h60 bigint").parquet(path + "/sketch")
+
+
+def append_to_sketch_index(
+    arrivals: DataFrame,
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Ingest an arrival batch into a stored MinHash sketch: sketch the
+    batch with the index's own build parameters and append — linear in
+    the batch, the corpus sketch is never rewritten. (Unlike the n-gram
+    index there is no frozen statistic here: the sketch is exact per
+    document, so append drift cannot occur.)"""
+    meta = read_index_meta(path)
+    sh = minhash_sketch(arrivals, id_col, text_col, meta["k"], meta["portable"])
+    n = sh.count()
+    sh.select(F.col("id").cast("long").alias("id"), "h60").repartition(
+        "id"
+    ).write.mode("append").parquet(path + "/sketch")
+    sh.unpersist()
+    return n
+
+
+def compact_sketch_index(
+    spark: SparkSession, path: str, files_per_partition: int = 1
+) -> dict[str, int]:
+    return compact_index_dir(
+        spark, path + "/sketch", None, files_per_partition, "id bigint, h60 bigint"
+    )
+
+
 def incremental_neardup_against(
     arrivals: DataFrame,
     stored_sketch: DataFrame,
@@ -601,7 +656,14 @@ def incremental_neardup_against(
     keys are cheap min-aggregates over the sketch — the stored table is
     the expensive artifact), one asymmetric band join, exact-Jaccard
     rerank of the candidates. Returns (new_id, corpus_id, jaccard).
-    The corpus is never self-joined and never re-shingled."""
+    The corpus is never self-joined and never re-shingled.
+
+    Sizes and intersections are computed PER SIDE (arrival rows vs
+    corpus rows), never from their union: an arrival whose id already
+    exists in the corpus — the routine replay/idempotent-ingest case —
+    would double its union size and drive the Jaccard denominator to
+    exactly zero. A replayed document instead reports itself as a
+    (new_id = corpus_id, jaccard 1.0) match, the honest signal."""
     sh_new = minhash_sketch(arrivals, id_col, text_col, k)
     bands_new = minhash_band_keys(sh_new)
     bands_corpus = minhash_band_keys(stored_sketch)
@@ -611,11 +673,27 @@ def incremental_neardup_against(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    rows = sh_new.unionByName(stored_sketch)
-    return jaccard_verify(cand, rows, threshold, on="h60").select(
-        F.col("id_a").alias("new_id"),
-        F.col("id_b").alias("corpus_id"),
-        "jaccard",
+    inter = (
+        cand.join(sh_new.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(stored_sketch.withColumnsRenamed({"id": "id_b"}), ["id_b", "h60"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("sz_a"))
+    sz_corpus = stored_sketch.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
+    return (
+        inter.join(sz_new.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(sz_corpus.withColumnsRenamed({"id": "id_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("corpus_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     )
 
 
@@ -674,7 +752,14 @@ def write_ngram_index(
     )
     sh.unpersist()
     _write_index_meta(
-        path, {"k": k, "max_df": max_df, "portable": portable, "hash_dirs": hash_dirs}
+        path,
+        {
+            "kind": "ngram",
+            "k": k,
+            "max_df": max_df,
+            "portable": portable,
+            "hash_dirs": hash_dirs,
+        },
     )
 
 
@@ -735,51 +820,64 @@ def append_to_ngram_index(
     return n
 
 
-def compact_ngram_index(
-    spark: SparkSession, path: str, files_per_partition: int = 1
+def compact_index_dir(
+    spark: SparkSession,
+    data_dir: str,
+    part_col: str | None,
+    files_per_partition: int = 1,
+    schema: str | None = None,
 ) -> dict[str, int]:
-    """Rewrite a stored index's ``kept`` rows with ``files_per_partition``
-    files per hb directory — the maintenance job for append-heavy
-    indexes, where each ingest batch adds one small file set per touched
-    hb dir and the FILE COUNT (not bytes) becomes the probe bottleneck.
-    The rewrite lands in a sibling directory and is promoted with two
-    atomic renames, so a crash leaves either the old or the new layout,
-    never a half-written index. Query results are bit-identical across
-    the compaction (rows are moved, never changed) — lifecycle-tested."""
+    """Rewrite a stored index's data directory with
+    ``files_per_partition`` files per partition dir (or per table when
+    unpartitioned) — the maintenance job for append-heavy indexes,
+    where each ingest batch adds one small file set per touched
+    partition and the FILE COUNT (not bytes) becomes the probe
+    bottleneck. The rewrite lands in a sibling directory and is
+    promoted with two atomic renames, so a crash leaves either the old
+    or the new layout, never a half-written index. Query results are
+    bit-identical across the compaction (rows are moved, never
+    changed) — lifecycle-tested for all three stored index kinds."""
     import os as _os
+    import shutil as _shutil
     import uuid as _uuid
 
-    kept_dir = path + "/kept"
-    current = spark.read.schema("id bigint, h60 bigint, hb int").parquet(kept_dir)
+    reader = spark.read.schema(schema) if schema else spark.read
+    current = reader.parquet(data_dir)
     files_before = len(current.inputFiles())
-    new_dir = f"{kept_dir}.compact-{_uuid.uuid4().hex[:12]}"
-    (
-        current.repartition("hb")
-        .write.mode("overwrite")
-        .option(
-            "maxRecordsPerFile",
-            max(1, -(-_estimate_max_hb_rows(current) // files_per_partition)),
+    new_dir = f"{data_dir}.compact-{_uuid.uuid4().hex[:12]}"
+    if part_col:
+        # largest partition's row count is parquet-footer-cheap (count
+        # aggregates never read data columns)
+        biggest = int(
+            current.groupBy(part_col).count().agg(F.max("count")).first()[0] or 1
         )
-        .partitionBy("hb")
-        .parquet(new_dir)
-    )
-    old_dir = f"{kept_dir}.old-{_uuid.uuid4().hex[:12]}"
-    _os.rename(kept_dir, old_dir)
-    _os.rename(new_dir, kept_dir)
-    import shutil as _shutil
-
+        (
+            current.repartition(part_col)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max(1, -(-biggest // files_per_partition)))
+            .partitionBy(part_col)
+            .parquet(new_dir)
+        )
+    else:
+        current.coalesce(files_per_partition).write.mode("overwrite").parquet(new_dir)
+    old_dir = f"{data_dir}.old-{_uuid.uuid4().hex[:12]}"
+    _os.rename(data_dir, old_dir)
+    _os.rename(new_dir, data_dir)
     _shutil.rmtree(old_dir, ignore_errors=True)
-    files_after = len(
-        spark.read.schema("id bigint, h60 bigint, hb int").parquet(kept_dir).inputFiles()
-    )
+    reader = spark.read.schema(schema) if schema else spark.read
+    files_after = len(reader.parquet(data_dir).inputFiles())
     return {"files_before": files_before, "files_after": files_after}
 
 
-def _estimate_max_hb_rows(kept: DataFrame) -> int:
-    """Largest hb partition's row count — parquet-footer-cheap (count
-    aggregates never read data columns)."""
-    row = kept.groupBy("hb").count().agg(F.max("count")).first()
-    return int(row[0] or 1)
+_NGRAM_KEPT_SCHEMA = "id bigint, h60 bigint, hb int"
+
+
+def compact_ngram_index(
+    spark: SparkSession, path: str, files_per_partition: int = 1
+) -> dict[str, int]:
+    return compact_index_dir(
+        spark, path + "/kept", "hb", files_per_partition, _NGRAM_KEPT_SCHEMA
+    )
 
 
 def read_ngram_index(spark: SparkSession, path: str) -> DataFrame:

@@ -400,6 +400,104 @@ def build_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
 
 
+def build_ivf(
+    emb: DataFrame,
+    path: str,
+    k_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF index lifecycle root (CLI-operable, same contract as the
+    n-gram and MinHash indexes): seed ``k_centroids`` centroids from
+    the lowest vector ids (the deterministic rule s04/u06 oracle; a
+    k-means refinement loop is s05 run to fixpoint), store them under
+    ``path/cents`` and the assignments partitioned BY centroid id under
+    ``path/data`` — the partition layout IS the inverted file."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import _write_index_meta
+
+    dim = vec_dim(emb, vec_col)
+    vecs = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(k_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/cents")
+    build_ivf_index(vecs, cents, dim, path + "/data")
+    _write_index_meta(
+        path, {"kind": "ivf", "dim": dim, "k_centroids": k_centroids}
+    )
+
+
+def read_ivf_cents(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path + "/cents")
+
+
+def append_to_ivf(emb: DataFrame, spark, path: str,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> int:
+    """Ingest new vectors into a stored IVF index: assign each to its
+    nearest STORED centroid (frozen between rebuilds — the standard
+    IVF trade; re-clustering is a rebuild) and append into the
+    centroid-partitioned layout. Linear in the batch."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import read_index_meta
+
+    dim = read_index_meta(path)["dim"]
+    vecs = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    cents = read_ivf_cents(spark, path)
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", cosine("v", "cv", dim).alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cent_id", F.struct(F.col("cos"), -F.col("cent_id"))).alias(
+                "cent_id"
+            ),
+            F.first("v").alias("v"),
+        )
+        .persist()
+    )
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cent_id").parquet(path + "/data")
+    assigned.unpersist()
+    return n
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a stored IVF index built by ``build_ivf``
+    (reads dim/centroids from the index itself)."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import read_index_meta
+
+    dim = read_index_meta(path)["dim"]
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    return ivf_search_against(
+        spark, path + "/data", q, read_ivf_cents(spark, path), dim,
+        nprobe=nprobe, k=k,
+    )
+
+
+def compact_ivf(spark, path: str, files_per_partition: int = 1) -> dict[str, int]:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import compact_index_dir
+
+    return compact_index_dir(spark, path + "/data", "cent_id", files_per_partition)
+
+
 def ivf_search_against(
     spark,
     index_path: str,

@@ -684,3 +684,88 @@ def test_ngram_index_lifecycle_cli(spark, tmp_path, capsys):
     # bit-identical results across the compaction
     assert probe() == (probe_rows, probe_n)
     assert pairs() == (pairs_rows, pairs_n)
+
+
+def test_minhash_sketch_index_lifecycle_cli(spark, tmp_path, capsys):
+    """MinHash sketch index: build → probe → ingest → pairs → compact →
+    bit-identical re-probe/re-pairs through the CLI."""
+    import json as _json
+
+    from gov_ec_pipeline_etl_spark.cli import main
+
+    corpus = [(i, f"alpha beta gamma delta epsilon word{i} zeta eta theta") for i in range(30)]
+    arrivals = [(200, "alpha beta gamma delta epsilon word3 zeta eta theta")]
+    corpus_pq, arrivals_pq = str(tmp_path / "c"), str(tmp_path / "a")
+    spark.createDataFrame(corpus, ["doc_id", "text"]).write.parquet(corpus_pq)
+    spark.createDataFrame(arrivals, ["doc_id", "text"]).write.parquet(arrivals_pq)
+    idx = str(tmp_path / "mh_idx")
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        # row order from limit().collect() is not deterministic —
+        # canonicalize (the summary line stays last)
+        return sorted(lines[:-1]), lines[-1]
+
+    run("index", "build", idx, corpus_pq, "--kind", "minhash")
+    probe0, _ = run("index", "probe", idx, arrivals_pq, "--limit", "1000")
+    assert any('"new_id": 200' in ln and '"corpus_id": 3' in ln for ln in probe0)
+
+    run("index", "ingest", idx, arrivals_pq)
+    probe1 = run("index", "probe", idx, arrivals_pq, "--limit", "1000")
+    # the replayed arrival also reports itself (new_id = corpus_id)
+    assert any('"new_id": 200' in ln and '"corpus_id": 200' in ln for ln in probe1[0])
+    pairs1 = run("index", "pairs", idx, "--limit", "100000")
+    assert any('"id_a": 3' in ln and '"id_b": 200' in ln for ln in pairs1[0])
+
+    res = _json.loads(run("index", "compact", idx)[1])
+    assert res["files_after"] <= res["files_before"]
+    assert run("index", "probe", idx, arrivals_pq, "--limit", "1000") == probe1
+    assert run("index", "pairs", idx, "--limit", "100000") == pairs1
+
+
+def test_ivf_index_lifecycle_cli(spark, tmp_path, capsys):
+    """IVF index: build (centroid-partitioned layout) → probe top-k →
+    ingest (assign to frozen centroids) → compact → bit-identical
+    re-probe through the CLI."""
+    import json as _json
+
+    import numpy as np
+
+    from gov_ec_pipeline_etl_spark.cli import main
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb_pq = str(tmp_path / "emb")
+    spark.createDataFrame(rows, ["vec_id", "embedding"]).write.parquet(emb_pq)
+    # arrivals: a near-copy of vector 20 (id 900) plus a fresh one
+    arr = [(900, [float(x) for x in vecs[20] * 1.5]),
+           (901, [float(x) for x in rng.standard_normal(16)])]
+    arr_pq = str(tmp_path / "arr")
+    spark.createDataFrame(arr, ["vec_id", "embedding"]).write.parquet(arr_pq)
+    idx = str(tmp_path / "ivf_idx")
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        return sorted(lines[:-1]), lines[-1]
+
+    run("index", "build", idx, emb_pq, "--kind", "ivf", "--k-centroids", "4")
+    stats = _json.loads(run("index", "stats", idx)[1])
+    assert stats["rows"] == 60 and stats["kind"] == "ivf"
+
+    # scaled copy of vec 20 must retrieve 20 as its top neighbor
+    # (parallel vectors share the argmax centroid)
+    probe0, _ = run("index", "probe", idx, arr_pq, "--nprobe", "4", "--limit", "1000")
+    assert any('"query_id": 900' in ln and '"neighbor_id": 20' in ln
+               and '"rnk": 1' in ln for ln in probe0)
+
+    run("index", "ingest", idx, arr_pq)
+    assert _json.loads(run("index", "stats", idx)[1])["rows"] == 62
+    probe1 = run("index", "probe", idx, arr_pq, "--nprobe", "4", "--limit", "1000")
+
+    res = _json.loads(run("index", "compact", idx)[1])
+    assert res["files_after"] <= res["files_before"]
+    assert run("index", "probe", idx, arr_pq, "--nprobe", "4", "--limit", "1000") == probe1
