@@ -449,18 +449,35 @@ def x46_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate <  TIMESTAMP '1996-04-01'
           GROUP BY l_suppkey
+        ),
+        ranked AS (
+          SELECT supplier_no, total_revenue,
+                 RANK() OVER (ORDER BY total_revenue DESC) AS rnk
+          FROM revenue
         )
         SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
         FROM supplier
-        JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        JOIN ranked ON s_suppkey = supplier_no
+        WHERE rnk = 1
     """,
-    doc="TPC-H Q15 shape (top supplier): quarter revenue CTE reused for "
-    "both the max (1-row broadcast) and the join back to supplier — the "
-    "revenue agg is computed once per side, never re-shuffled.",
-    tags=("agg", "subquery", "tpch"),
+    doc="TPC-H Q15 shape (top supplier), spelled as RANK over ONE "
+    "materialization of the quarter-revenue aggregate rather than "
+    "Q15's textbook `total_revenue = (SELECT MAX(...))`. The textbook "
+    "form compares a parallel double SUM against a RECOMPUTATION of "
+    "the same sum: summation order differs between evaluations, the "
+    "two values differ in the last ulp, and the equality returns zero "
+    "rows — a real failure the round-5 sf1 scale gate caught in DuckDB "
+    "(and Spark is equally exposed through shuffle-order "
+    "nondeterminism). Ranking orders values from a single evaluation, "
+    "so no cross-evaluation float equality exists; ties at the true "
+    "max still all surface, matching Q15 semantics. The ranked window "
+    "input is the supplier-grain aggregate (dimension-scale rows), so "
+    "the unpartitioned window is not a scale hazard.",
+    tags=("agg", "window", "tpch", "float-safe"),
 )
 def x47_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = T(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -470,15 +487,14 @@ def x47_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    ranked = revenue.withColumn(
+        "rnk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+    ).where(F.col("rnk") == 1)
     supp = T(spark, sf_dir, "supplier")
-    return (
-        revenue.crossJoin(F.broadcast(max_rev))
-        .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
-        .select(
-            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
-        )
+    return ranked.join(
+        F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey
+    ).select(
+        "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
     )
 
 
