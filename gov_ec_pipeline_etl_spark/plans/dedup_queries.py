@@ -232,6 +232,7 @@ def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "u18_simhash_groups",
+    bench=True,
     oracle=_simhash_group_oracle(),
     doc="Density-proof SimHash near-dup summary (the d03 guard from the "
     "round-4 sf1 finding, where doc-level output hit 130.8M pairs on a "

@@ -98,3 +98,19 @@ def test_fast_compare_large_results():
     dup = a.iloc[[0, 1, 1]].reset_index(drop=True)
     ok, _ = _fast_compare(dup, a, ["k", "s", "v"])
     assert not ok
+
+    # ADVICE r4: an int64 Spark column vs a NON-INTEGRAL float64 DuckDB
+    # column must not be truncated to a false 'ok' — coerce toward the
+    # wider type and compare as float
+    si = pd.DataFrame({"k": [1, 2], "v": np.array([1, 2], dtype=np.int64)})
+    df_ = pd.DataFrame({"k": [1, 2], "v": np.array([1.5, 2.0])})
+    ok, msg = _fast_compare(si, df_, ["k", "v"])
+    assert not ok and "v" in msg, msg
+    # ...while a genuinely integral float column still compares equal
+    ok, msg = _fast_compare(si, pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]}), ["k", "v"])
+    assert ok, msg
+    # non-numeric lossy coercions are rejected, not silently cast
+    ss = pd.DataFrame({"k": [1, 2], "v": ["1", "2"]})
+    sv = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+    ok, msg = _fast_compare(ss, sv, ["k", "v"])
+    assert ok or "v" in msg  # either lossless-equal or named rejection

@@ -759,6 +759,37 @@ def test_concurrent_writer_lock_serializes(spark, tmp_path):
     assert not os.path.exists(lock)  # released on success
 
 
+def test_writer_lock_unreadable_owner_is_live_contender(spark, tmp_path):
+    """ADVICE r4 TOCTOU: a lock that exists but whose owner cannot be
+    positively attributed to a dead pid (empty file, garbage content,
+    pid 0) must be treated as a LIVE contender and never broken — the
+    old scheme read a not-yet-written lock as owner=0, deleted the LIVE
+    lock, and let two writers race. (Lock creation is now atomic via
+    temp-file + os.link, so the empty state can only mean corruption —
+    same policy.)"""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        _LOCK,
+        ConcurrentWriterError,
+    )
+
+    target = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], "surrogate_id int, v string")
+    upsert_parquet(spark, df1, target)
+    lock = os.path.join(target, _LOCK)
+    df2 = spark.createDataFrame([(2, "b")], "surrogate_id int, v string")
+
+    for content, pat in [("", "unreadable owner"), ("junk", "unreadable owner"),
+                         ("0", "non-positive owner"), ("-5", "non-positive owner")]:
+        with open(lock, "w", encoding="utf-8") as f:
+            f.write(content)
+        with pytest.raises(ConcurrentWriterError, match=pat):
+            upsert_parquet(spark, df2, target)
+        assert os.path.exists(lock)  # the suspect lock was NOT broken
+        os.remove(lock)
+    # table never saw the losing merge
+    assert [r.v for r in read_table(spark, target).collect()] == ["a"]
+
+
 def test_pointer_cas_rejects_moved_pointer(spark, tmp_path):
     """If the pointer moved between a merge's read and its swap (the
     advisory lock was wrongly broken), the swap fails and the half-built

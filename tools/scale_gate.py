@@ -151,7 +151,16 @@ def main() -> int:
     sf_tag = f"{args.sf:g}"
     data_dir = args.data_dir or os.path.join(REPO, ".localdata", f"sf{sf_tag}")
     out_path = args.out or os.path.join(REPO, f"SCALE_sf{sf_tag}.json")
-    summary: dict = {"sf": args.sf, "data_dir": data_dir, "generator": None}
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=False,
+        ).stdout.strip() or None
+    except OSError:
+        commit = None
+    summary: dict = {
+        "sf": args.sf, "data_dir": data_dir, "commit": commit, "generator": None,
+    }
 
     print(f"[scale_gate] generating sf={sf_tag} at {data_dir}", flush=True)
     summary["generator"] = _gen(args.sf, data_dir)
