@@ -349,7 +349,12 @@ def cosine_near_pairs(
         # at sf0.1; at corpus scale it halves the scan volume — the
         # cluster form writes this projection out, as minhash_sketch
         # documents). count() is the same materialization barrier.
-        v = v.withColumn("bucket", bucket_key("v", planes)).persist()
+        # Bucket keys via the same Arrow matmul as the banded path
+        # (constant-size plan; the literal kernel stays only where an
+        # oracle replays its bit math, i.e. s03's lsh_cosine_topk).
+        v = v.withColumn(
+            "bucket", band_keys_udf([planes])(F.col("v")).getItem(0)
+        ).persist()
         v.count()
         joined = v.alias("a").join(
             v.alias("b"),
