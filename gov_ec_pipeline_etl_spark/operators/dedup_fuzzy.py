@@ -158,17 +158,12 @@ def minhash_sketch(
     return sh
 
 
-def minhash_band_keys(
-    sh: DataFrame, num_hashes: int = 12, bands: int = 4
-) -> DataFrame:
-    """(id, band_idx, band_key) from a (id, h60) sketch: signature via
-    groupBy min-aggregates (the per-row affine hashes run inside
-    whole-stage codegen), then banded keys. Reusable across batches —
-    the incremental-dedup path banding a new batch against a stored
-    corpus sketch calls this on each side."""
-    rows = num_hashes // bands
+def minhash_signature(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """(id, s0..s{n-1}) MinHash signature from a (id, h60) sketch:
+    groupBy min-aggregates — the per-row affine hashes run inside
+    whole-stage codegen, one shuffle on id."""
     exploded = sh.withColumn("h", F.col("h60") % F.lit(2**32))
-    sig = exploded.groupBy("id").agg(
+    return exploded.groupBy("id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
                 f"s{i}"
@@ -176,6 +171,17 @@ def minhash_band_keys(
             for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
         ]
     )
+
+
+def minhash_band_keys(
+    sh: DataFrame, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """(id, band_idx, band_key) from a (id, h60) sketch: signature via
+    ``minhash_signature``, then banded keys. Reusable across batches —
+    the incremental-dedup path banding a new batch against a stored
+    corpus sketch calls this on each side."""
+    rows = num_hashes // bands
+    sig = minhash_signature(sh, num_hashes)
     banded_keys = sig.select(
         "id",
         F.array(
@@ -228,7 +234,79 @@ def minhash_lsh_pairs(
         .where(F.size("ids") >= 2)
     )
     cand = _bucket_pairs(buckets)
-    return jaccard_verify(cand, sh.select("id", "h60"), jaccard_threshold, on="h60")
+    out = jaccard_verify(cand, sh.select("id", "h60"), jaccard_threshold, on="h60")
+    # caller releases via caching.unpersist_inputs / released()
+    return hold(out, sh)
+
+
+def minhash_estimate_vs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Sketch-quality measurement: for every verified near-dup pair,
+    the MinHash-ESTIMATED Jaccard (matching signature components /
+    num_hashes) next to the exact shingle Jaccard, with the absolute
+    error. The operational dial a 100 TB dedup run needs when choosing
+    num_hashes/bands: measured estimator error on the corpus itself,
+    computed in-engine from the SAME persisted sketch the dedup path
+    uses (one shingle scan; signature and verify both reuse it —
+    no second pass over the text).
+
+    Output: id_a, id_b, est_matches (0..num_hashes), est_jaccard,
+    jaccard (exact, rounded 6), abs_err (rounded 6).
+    """
+    sh = minhash_sketch(df, id_col, text_col, k, portable)
+    banded = minhash_band_keys(sh, num_hashes, bands)
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = jaccard_verify(
+        _bucket_pairs(buckets), sh.select("id", "h60"), jaccard_threshold, on="h60"
+    )
+    sig = minhash_signature(sh, num_hashes)
+    sig_a = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    est_matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    out = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est_matches.alias("est_matches"),
+            "jaccard",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_matches",
+            F.round(F.col("est_matches") / F.lit(num_hashes), 6).alias(
+                "est_jaccard"
+            ),
+            "jaccard",
+            F.round(
+                F.abs(F.col("est_matches") / F.lit(num_hashes) - F.col("jaccard")),
+                6,
+            ).alias("abs_err"),
+        )
+    )
+    return hold(out, sh)
 
 
 def _bucket_pairs(buckets: DataFrame) -> DataFrame:

@@ -257,6 +257,35 @@ def lsh_cosine_topk(
     )
 
 
+def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one — the in-engine quality gate for any ANN path (LSH, IVF, …)
+    before trusting it on a full-corpus run. Both inputs carry
+    (query_id, neighbor_id, …); extra columns are ignored.
+
+    Output: query_id, n_exact, n_ann, n_hit, recall_at_k — all counts
+    bigint, recall rounded to 3. Tiny aggregates (k rows per query);
+    the expensive parts are the input plans themselves."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id", F.lit(1).alias("m"))
+    hit = (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    acnt = a.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    return hit.join(acnt, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_ann", F.lit(0)).cast("long").alias("n_ann"),
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 3).alias("recall_at_k"),
+    )
+
+
 def cosine_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

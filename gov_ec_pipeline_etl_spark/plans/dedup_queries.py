@@ -279,6 +279,89 @@ def _ngram_oracle(k: int = 3, max_df: int = 50) -> str:
     """
 
 
+def _minhash_err_oracle(
+    k: int = 3, num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """d02's sketch replay extended with the per-pair estimator error:
+    DuckDB recomputes the signature, counts matching components, and
+    compares the estimate against the exact shingle Jaccard."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        MINHASH_PRIME,
+        minhash_coeffs,
+    )
+
+    rows = num_hashes // bands
+    base = (
+        f"list_transform(shingles, s -> {portable_hash64_sql('s', 0)} % 4294967296)"
+    )
+    sig_terms = ",\n".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_coeffs(num_hashes)
+    )
+    band_terms = ",\n".join(
+        f"{{'idx': {b}, 'key': md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], ','))}}"
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)"
+        " / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"
+    )
+    est = (
+        f"CAST(list_sum(list_transform(range(1, {num_hashes + 1}),"
+        " i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS INTEGER)"
+    )
+    return f"""
+        WITH corpus AS ({DIRTY_SQL}),
+        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+        sh AS (SELECT doc_id, {shingles_sql(k)} AS shingles FROM toksed),
+        based AS (SELECT doc_id, shingles, {base} AS base FROM sh),
+        sig AS (SELECT doc_id, shingles, [{sig_terms}] AS sig FROM based),
+        banded AS (
+          SELECT doc_id, shingles, sig, unnest([{band_terms}]) AS band FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.shingles AS sh_a, b.shingles AS sh_b,
+                 a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band.idx = b.band.idx AND a.band.key = b.band.key
+           AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+          SELECT id_a, id_b, {est} AS est_matches, ROUND({jac}, 6) AS jaccard
+          FROM cand WHERE {jac} >= {threshold}
+        )
+        SELECT id_a, id_b, est_matches,
+               ROUND(est_matches / {num_hashes}, 6) AS est_jaccard,
+               jaccard,
+               ROUND(ABS(est_matches / {num_hashes} - jaccard), 6) AS abs_err
+        FROM verified
+    """
+
+
+@register(
+    "u20_minhash_estimate_error",
+    oracle=_minhash_err_oracle(),
+    doc="Sketch-quality measurement over d02's verified pairs: MinHash-"
+    "estimated Jaccard (matching signature components / 12) next to the "
+    "exact shingle Jaccard with the absolute error — the measured dial "
+    "for choosing num_hashes/bands on a real corpus before a 100 TB "
+    "dedup run, computed in-engine from the SAME persisted sketch the "
+    "dedup path uses (one shingle scan feeds bands, verify, and "
+    "signature). Oracle replays signature, estimate, and error in SQL.",
+    tags=("dedup", "minhash", "quality", "llm-pipeline"),
+)
+def u20_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        minhash_estimate_vs_exact,
+    )
+
+    return minhash_estimate_vs_exact(
+        _dirty_docs(spark, sf_dir), "doc_id", "text",
+        k=3, num_hashes=12, bands=4, jaccard_threshold=0.5,
+    )
+
+
 @register(
     "d04_ngram_jaccard",
     oracle=_ngram_oracle(),

@@ -120,18 +120,16 @@ def s02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(corpus, threshold=0.999, bucketed=True)
 
 
-def _lsh_oracle(
-    dim: int = 64, n_planes: int = 8, k: int = 5, n_queries: int = 10
-) -> str:
-    """Full SQL oracle for the hyperplane-LSH ANN: the LSH is
-    DETERMINISTIC literal arithmetic (seeded hyperplanes embedded as
-    double literals), so DuckDB can reproduce the bucket keys — each
-    sign bit is the same left-to-right unrolled projection the engine
-    generates in ``bucket_key`` — then the bucket equi-join, exact
-    cosine rerank, and top-k, exactly as d02's MinHash signature math
-    is oracled. ``dim`` is pinned to the testdata embedding width (64
-    at every sf); the engine side still reads it from data, and a
-    mismatch surfaces as an oracle failure rather than silence."""
+def _keyed_cte(dim: int = 64, n_planes: int = 8) -> str:
+    """``keyed AS (…)`` CTE replaying the engine's hyperplane bucket key
+    in DuckDB SQL. The LSH is DETERMINISTIC literal arithmetic (seeded
+    hyperplanes embedded as double literals), so DuckDB can reproduce
+    the bucket keys — each sign bit is the same left-to-right unrolled
+    projection the engine generates in ``bucket_key``. ``dim`` is
+    pinned to the testdata embedding width (64 at every sf); the engine
+    side still reads it from data, and a mismatch surfaces as an oracle
+    failure rather than silence. Shared by s03 (full bucket+rerank
+    replay) and u19 (recall measurement against the exact scan)."""
     from gov_ec_pipeline_etl_spark.operators.similarity import hyperplanes
 
     bits = []
@@ -147,8 +145,7 @@ def _lsh_oracle(
             " ELSE CAST(0 AS BIGINT) END)"
         )
     bucket_sql = " + ".join(bits)
-    return f"""
-        WITH keyed AS (
+    return f"""keyed AS (
           SELECT vec_id, v,
                  sqrt(list_dot_product(v, v)) AS n,
                  ({bucket_sql}) AS bucket
@@ -157,7 +154,17 @@ def _lsh_oracle(
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
           )
-        ),
+        )"""
+
+
+def _lsh_oracle(
+    dim: int = 64, n_planes: int = 8, k: int = 5, n_queries: int = 10
+) -> str:
+    """Full SQL oracle for the hyperplane-LSH ANN: bucket equi-join,
+    exact cosine rerank, and top-k, exactly as d02's MinHash signature
+    math is oracled (bucket-key replay in ``_keyed_cte``)."""
+    return f"""
+        WITH {_keyed_cte(dim, n_planes)},
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  list_dot_product(q.v, c.v) / (q.n * c.n) AS cos
@@ -298,4 +305,79 @@ def s05_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg(comp_sum), 6).alias("mean_component_sum"),
+    )
+
+
+def _ann_recall_oracle(
+    dim: int = 64, n_planes: int = 8, k: int = 5, n_queries: int = 10
+) -> str:
+    """Recall@k of the LSH ANN vs the exact scan, both replayed in SQL
+    from the same ``keyed`` CTE (exact ignores the bucket column)."""
+    topk = f"""
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                   ) AS rnk
+            FROM {{src}}
+          ) WHERE rnk <= {k}
+    """
+    return f"""
+        WITH {_keyed_cte(dim, n_planes)},
+        exact_scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.v, c.v) / (q.n * c.n) AS cos
+          FROM keyed c, keyed q
+          WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+        ),
+        ann_scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.v, c.v) / (q.n * c.n) AS cos
+          FROM keyed c JOIN keyed q ON c.bucket = q.bucket
+          WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+        ),
+        exact AS ({topk.format(src='exact_scored')}),
+        ann AS ({topk.format(src='ann_scored')}),
+        hit AS (
+          SELECT e.query_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_exact,
+                 CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM exact e LEFT JOIN ann a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY e.query_id
+        ),
+        acnt AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann
+          FROM ann GROUP BY query_id
+        )
+        SELECT h.query_id, h.n_exact,
+               CAST(COALESCE(a.n_ann, 0) AS BIGINT) AS n_ann, h.n_hit,
+               ROUND(CAST(h.n_hit AS DOUBLE) / h.n_exact, 3) AS recall_at_k
+        FROM hit h LEFT JOIN acnt a ON h.query_id = a.query_id
+    """
+
+
+@register(
+    "u19_ann_recall",
+    oracle=_ann_recall_oracle(),
+    doc="In-engine ANN quality measurement: recall@5 of the hyperplane-"
+    "LSH top-k (s03's path) against the exact brute-force top-k (s01's "
+    "path), per query vector. The operational gate a 100 TB corpus "
+    "needs before trusting the approximate path — recall is computed "
+    "by the engine itself (set intersection of the two top-k results), "
+    "not by an offline notebook. Both sides and the recall arithmetic "
+    "are fully replayed by the DuckDB oracle from the same seeded-"
+    "hyperplane literals, so the measurement itself is cross-engine "
+    "verified. Tiny aggregates (k rows per query) — the expensive parts "
+    "are the same bucketed/broadcast plans s01/s03 already carry.",
+    tags=("similarity", "ann", "lsh", "quality", "llm-pipeline"),
+)
+def u19_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.similarity import topk_recall
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return topk_recall(
+        cosine_topk(q, emb, k=5), lsh_cosine_topk(q, emb, k=5, n_planes=8)
     )

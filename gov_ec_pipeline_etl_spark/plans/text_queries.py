@@ -447,3 +447,71 @@ def t12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+@register(
+    "u21_source_token_drift",
+    oracle="""
+        WITH toks AS (
+          SELECT source,
+                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents
+        ),
+        per AS (SELECT source, tok, COUNT(*) AS n_st FROM toks GROUP BY source, tok),
+        stot AS (SELECT source, SUM(n_st) AS n_s FROM per GROUP BY source),
+        ctot AS (SELECT tok, SUM(n_st) AS n_t FROM per GROUP BY tok),
+        tot AS (SELECT SUM(n_st) AS n_tot FROM per),
+        ratios AS (
+          SELECT p.source, p.tok,
+                 (CAST(p.n_st AS DOUBLE) / s.n_s)
+                 / (CAST(c.n_t AS DOUBLE) / t.n_tot) AS ratio
+          FROM per p
+          JOIN stot s USING (source)
+          JOIN ctot c USING (tok)
+          CROSS JOIN tot t
+        )
+        SELECT source, tok, CAST(rnk AS BIGINT) AS rnk,
+               ROUND(ratio, 6) AS ratio
+        FROM (
+          SELECT source, tok, ratio,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY ratio DESC, tok
+                 ) AS rnk
+          FROM ratios
+        ) WHERE rnk <= 3
+    """,
+    doc="Per-source vocabulary drift: the 3 most over-represented tokens "
+    "per source, scored by (in-source frequency) / (corpus frequency). "
+    "The mixture-monitoring primitive for a multi-source training "
+    "corpus — detects a source whose token distribution is drifting "
+    "from the blend before it skews the mix. One explode + token-level "
+    "aggregation; the per-source and corpus marginals are tiny "
+    "broadcast sides (vocabulary-sized, not corpus-sized), so the only "
+    "data-scale shuffle is the (source, token) count.",
+    tags=("text", "quality", "monitoring", "llm-pipeline"),
+)
+def u21_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    toks = d.select("source", F.explode(F.split(norm, " ")).alias("tok"))
+    per = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n_st"))
+    stot = per.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    ctot = per.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
+    tot = stot.agg(F.sum("n_s").alias("n_tot"))
+    ratios = (
+        per.join(F.broadcast(stot), "source")
+        .join(F.broadcast(ctot), "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "ratio",
+            (F.col("n_st") / F.col("n_s")) / (F.col("n_t") / F.col("n_tot")),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("ratio").desc(), "tok")
+    return (
+        ratios.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("source", "tok", "rnk", F.round("ratio", 6).alias("ratio"))
+    )

@@ -371,10 +371,9 @@ def _ivf_cos(a: str, b: str) -> str:
     )
 
 
-@register(
-    "u06_ivf_topk",
-    oracle=f"""
-        WITH vecs AS (
+# IVF search replay as a WITH-body, shared by u06 (result itself) and
+# u22 (recall of that result against the exact scan).
+_IVF_CTES = f"""vecs AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
         ),
@@ -399,17 +398,26 @@ def _ivf_cos(a: str, b: str) -> str:
           SELECT p.query_id, a.vec_id AS neighbor_id
           FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
           WHERE a.vec_id <> p.query_id
-        )
-        SELECT query_id, neighbor_id, rnk FROM (
-          SELECT c.query_id, c.neighbor_id,
-                 ROW_NUMBER() OVER (
-                   PARTITION BY c.query_id
-                   ORDER BY {_ivf_cos('q.qv', 'n.v')} DESC, c.neighbor_id
-                 ) AS rnk
-          FROM cand c
-          JOIN queries q ON q.query_id = c.query_id
-          JOIN vecs n ON n.vec_id = c.neighbor_id
-        ) WHERE rnk <= 5
+        ),
+        ivf AS (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.query_id
+                     ORDER BY {_ivf_cos('q.qv', 'n.v')} DESC, c.neighbor_id
+                   ) AS rnk
+            FROM cand c
+            JOIN queries q ON q.query_id = c.query_id
+            JOIN vecs n ON n.vec_id = c.neighbor_id
+          ) WHERE rnk <= 5
+        )"""
+
+
+@register(
+    "u06_ivf_topk",
+    oracle=f"""
+        WITH {_IVF_CTES}
+        SELECT query_id, neighbor_id, rnk FROM ivf
     """,
     doc="IVF SEARCH end-to-end (the ANN scale path s04/s05 are the "
     "building blocks of): corpus assigned once to K=8 centroids, each "
@@ -421,6 +429,10 @@ def _ivf_cos(a: str, b: str) -> str:
     tags=("similarity", "ivf", "ann", "llm-pipeline"),
 )
 def u06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_search(spark, sf_dir)
+
+
+def _ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from gov_ec_pipeline_etl_spark.operators.similarity import (
@@ -479,6 +491,63 @@ def u06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk")
     )
+
+
+@register(
+    "u22_ivf_recall",
+    oracle=f"""
+        WITH {_IVF_CTES},
+        exact_scored AS (
+          SELECT q.query_id, n.vec_id AS neighbor_id,
+                 {_ivf_cos('q.qv', 'n.v')} AS cos
+          FROM queries q, vecs n
+          WHERE n.vec_id <> q.query_id
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                   ) AS rnk
+            FROM exact_scored
+          ) WHERE rnk <= 5
+        ),
+        hit AS (
+          SELECT e.query_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_exact,
+                 CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM exact e LEFT JOIN ivf a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY e.query_id
+        ),
+        acnt AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann
+          FROM ivf GROUP BY query_id
+        )
+        SELECT h.query_id, h.n_exact,
+               CAST(COALESCE(a.n_ann, 0) AS BIGINT) AS n_ann, h.n_hit,
+               ROUND(CAST(h.n_hit AS DOUBLE) / h.n_exact, 3) AS recall_at_k
+        FROM hit h LEFT JOIN acnt a ON h.query_id = a.query_id
+    """,
+    doc="In-engine IVF quality measurement: recall@5 of u06's "
+    "nprobe=2 IVF search against the exact brute-force top-k — the "
+    "centroid-count/nprobe tuning dial measured on the corpus itself, "
+    "same operator (topk_recall) that gates the LSH path in u19. Both "
+    "sides and the recall arithmetic replay fully in the DuckDB oracle "
+    "(IVF is deterministic arithmetic, so unlike seeded-LSH even the "
+    "index build is cross-engine verified).",
+    tags=("similarity", "ivf", "ann", "quality", "llm-pipeline"),
+)
+def u22_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.similarity import (
+        cosine_topk,
+        topk_recall,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
+    return topk_recall(exact, _ivf_search(spark, sf_dir))
 
 
 @register(

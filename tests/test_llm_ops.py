@@ -769,3 +769,79 @@ def test_ivf_index_lifecycle_cli(spark, tmp_path, capsys):
     res = _json.loads(run("index", "compact", idx)[1])
     assert res["files_after"] <= res["files_before"]
     assert run("index", "probe", idx, arr_pq, "--nprobe", "4", "--limit", "1000") == probe1
+
+
+def test_minhash_estimate_error_extends_d02_losslessly(spark):
+    """u20's pair set IS d02's pair set (same sketch, same verify) —
+    the estimator columns extend it without changing membership — and
+    the estimate/error arithmetic is internally consistent."""
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        minhash_estimate_vs_exact,
+    )
+
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b c d e f g h", "a b c d e f g x", "p q r s t u v w",
+             "p q r s t u v y", "m n o z z1 z2 z3 z4"]
+        )],
+        ["doc_id", "text"],
+    )
+    with released(
+        minhash_lsh_pairs(base, "doc_id", "text", k=3, num_hashes=12,
+                          bands=4, jaccard_threshold=0.3)
+    ) as d02_pairs:
+        expect = {(r.id_a, r.id_b, r.jaccard) for r in d02_pairs.collect()}
+    with released(
+        minhash_estimate_vs_exact(base, "doc_id", "text", k=3,
+                                  num_hashes=12, bands=4,
+                                  jaccard_threshold=0.3)
+    ) as est:
+        rows = est.collect()
+    assert {(r.id_a, r.id_b, r.jaccard) for r in rows} == expect
+    assert expect  # planted near-dups must surface
+    for r in rows:
+        assert 0 <= r.est_matches <= 12
+        assert r.est_jaccard == round(r.est_matches / 12, 6)
+        assert abs(r.abs_err - abs(r.est_matches / 12 - r.jaccard)) < 1e-9
+        # ≥1 band must collide for the pair to be a candidate at all:
+        # some 3-hash run agreed, so at least 3 components match
+        assert r.est_matches >= 3
+
+
+@pytest.mark.parametrize("name", ["u19_ann_recall", "u22_ivf_recall"])
+def test_recall_query_bounds(spark, name):
+    """The recall queries' counters are mutually consistent and recall
+    is the measured intersection, on testdata embeddings."""
+    from gov_ec_pipeline_etl_spark.plans.registry import all_queries
+
+    q = all_queries()[name].spark
+    rows = q(spark, "/root/testdata/sf0.001").collect()
+    assert {r.query_id for r in rows} == set(range(10))
+    for r in rows:
+        assert 1 <= r.n_exact <= 5
+        assert 0 <= r.n_ann <= 5
+        assert 0 <= r.n_hit <= min(r.n_exact, r.n_ann)
+        assert r.recall_at_k == round(r.n_hit / r.n_exact, 3)
+
+
+def test_source_token_drift_shape(spark):
+    """u21: ≤3 rows per source, ranks contiguous from 1, ratios > 0,
+    and the top token is genuinely over-represented (ratio ≥ 1 would
+    be too strong on a tiny corpus, but the max per source must be
+    ≥ the min per source by rank order)."""
+    from gov_ec_pipeline_etl_spark.plans.registry import all_queries
+
+    q = all_queries()["u21_source_token_drift"].spark
+    rows = q(spark, "/root/testdata/sf0.001").collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        assert all(r.ratio > 0 for r in rs)
+        ratios = [r.ratio for r in rs]
+        assert ratios == sorted(ratios, reverse=True)
