@@ -341,6 +341,7 @@ def _minhash_err_oracle(
 
 @register(
     "u20_minhash_estimate_error",
+    bench=True,
     oracle=_minhash_err_oracle(),
     doc="Sketch-quality measurement over d02's verified pairs: MinHash-"
     "estimated Jaccard (matching signature components / 12) next to the "

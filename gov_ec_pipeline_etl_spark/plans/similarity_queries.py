@@ -360,6 +360,7 @@ def _ann_recall_oracle(
 
 @register(
     "u19_ann_recall",
+    bench=True,
     oracle=_ann_recall_oracle(),
     doc="In-engine ANN quality measurement: recall@5 of the hyperplane-"
     "LSH top-k (s03's path) against the exact brute-force top-k (s01's "
