@@ -574,3 +574,117 @@ def ivf_search_against(
             "query_id", F.col("vec_id").alias("neighbor_id"), F.col("rnk")
         )
     )
+
+
+def sq_l2_sql(a: str, b: str, dim: int) -> str:
+    """Squared L2 distance as ``a·a + b·b - 2·(a·b)`` with each dot an
+    unrolled left-to-right sum — the same expression SHAPE the DuckDB
+    oracle writes with list_dot_product, so results are bit-identical
+    across engines (norm-expansion instead of Σ(aᵢ-bᵢ)² keeps the
+    per-side norms factorable out of a join body)."""
+    return (
+        f"({_dot_sql(a, a, dim)}) + ({_dot_sql(b, b, dim)})"
+        f" - 2*({_dot_sql(a, b, dim)})"
+    )
+
+
+def pq_assignments(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 4,
+) -> DataFrame:
+    """Product quantization: encode each vector as ``m`` sub-space code
+    ids (reference has no vector search at all; this is the
+    memory-side scale lever that pairs with IVF — IVF prunes WHICH
+    vectors to score, PQ shrinks WHAT is stored per vector, dim·4 bytes
+    → m bytes at m=8).
+
+    The dim is split into ``m`` contiguous sub-spaces of dim/m
+    components. Codebooks are seeded deterministically from the first
+    ``k_codes`` vectors' sub-slices (the same low-id seeding rule the
+    IVF build oracles — a k-means refinement of the codebooks is s05's
+    loop per sub-space). Each (vector, sub-space) slice is assigned to
+    its nearest codeword by squared L2 (low code id breaks ties), and
+    the residual squared error is the per-sub-space reconstruction
+    loss.
+
+    Output: (vec_id, sub, code, sqerr) — one row per vector per
+    sub-space. Plan: one posexplode (×m rows, arrays of dim/m), one
+    broadcast join against the m·k codebook rows, one min_by groupBy —
+    shuffle only on (vec_id, sub), fully whole-stage-codegen distance
+    arithmetic, linear in the corpus at any scale."""
+    dim = vec_dim(emb, vec_col)
+    d = dim // m
+    vecs = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    subs = F.array(*[F.slice("v", s * d + 1, d) for s in range(m)])
+    sliced = vecs.select("vec_id", F.posexplode(subs).alias("sub", "x"))
+    codebook = (
+        vecs.where(F.col("vec_id") < k_codes)
+        .select(F.col("vec_id").alias("code"), F.posexplode(subs).alias("sub", "c"))
+    )
+    scored = sliced.join(F.broadcast(codebook), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        F.expr(sq_l2_sql("x", "c", d)).alias("dist"),
+    )
+    return scored.groupBy("vec_id", "sub").agg(
+        F.min_by("code", F.struct(F.col("dist"), F.col("code"))).alias("code"),
+        F.min("dist").alias("sqerr"),
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means run for ``iters`` full iterations, centroids seeded
+    from the ``k`` lowest ids (deterministic — the rule the IVF build
+    oracles). Each iteration: broadcast the k·dim centroid table, argmin
+    by squared L2 (low centroid id breaks ties), recompute centroids as
+    per-dimension means. Vectors never leave the executors; only the
+    k-row centroid table is localCheckpoint-ed between iterations to
+    truncate lineage (without it the next round's distance kernel
+    inlines dim avg-expressions per component — measured 60 s of pure
+    Catalyst analysis by iteration 3 at dim 64). Returns the final
+    (id, cent_id) assignment."""
+    dim = vec_dim(emb, vec_col)
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    cents = vecs.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    assigned = None
+    for it in range(iters):
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "v",
+            "cent_id",
+            F.expr(sq_l2_sql("v", "cv", dim)).alias("dist"),
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.min_by("cent_id", F.struct(F.col("dist"), F.col("cent_id"))).alias(
+                "cent_id"
+            ),
+            F.first("v").alias("v"),
+        )
+        if it < iters - 1:
+            cents = (
+                assigned.groupBy("cent_id")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+                .select(
+                    "cent_id",
+                    F.array(*[f"m{i}" for i in range(dim)]).alias("cv"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return assigned.select("vec_id", "cent_id")

@@ -382,3 +382,131 @@ def u19_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_recall(
         cosine_topk(q, emb, k=5), lsh_cosine_topk(q, emb, k=5, n_planes=8)
     )
+
+
+def _pq_oracle(dim: int = 64, m: int = 8, k_codes: int = 4) -> str:
+    """Replay of pq_assignments: same low-id codebook seeding, same
+    norm-expanded squared-L2 (list_dot_product is the same sequential
+    sum the unrolled Spark kernel evaluates), same (dist, code)
+    tie-break."""
+    d = dim // m
+    sq = (
+        "(list_dot_product(t.x, t.x)) + (list_dot_product(cb.c, cb.c))"
+        " - 2*(list_dot_product(t.x, cb.c))"
+    )
+    return f"""
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        sliced AS (
+          SELECT vec_id, CAST(u.s AS INTEGER) AS sub,
+                 list_slice(v, u.s*{d}+1, u.s*{d}+{d}) AS x
+          FROM vecs, UNNEST(range(0, {m})) AS u(s)
+        ),
+        codebook AS (
+          SELECT vec_id AS code, sub, x AS c FROM sliced
+          WHERE vec_id < {k_codes}
+        ),
+        scored AS (
+          SELECT t.vec_id, t.sub, cb.code, {sq} AS dist
+          FROM sliced t JOIN codebook cb USING (sub)
+        )
+        SELECT vec_id, sub, code, ROUND(dist, 6) AS sqerr_r FROM (
+          SELECT vec_id, sub, code, dist,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, sub ORDER BY dist, code
+                 ) AS rn
+          FROM scored
+        ) WHERE rn = 1
+    """
+
+
+@register(
+    "u23_pq_encode",
+    oracle=_pq_oracle(),
+    doc="Product quantization encode + reconstruction loss: each 64-dim "
+    "vector becomes 8 sub-space code ids (nearest codeword by squared "
+    "L2, codebooks seeded from the corpus head — the deterministic rule "
+    "the IVF build oracles). PQ is the memory half of the ANN scale "
+    "story: IVF prunes WHICH vectors a query scores, PQ shrinks WHAT "
+    "each stored vector costs (dim·4 bytes → m bytes + codebook). "
+    "Plan: posexplode into sub-slices, broadcast the m·k codebook, "
+    "min_by — one shuffle, codegen distance arithmetic, linear in the "
+    "corpus. Fully oracled: deterministic seeding makes the approximate "
+    "index exactly replayable, like u06's IVF.",
+    tags=("similarity", "ann", "quantization", "llm-pipeline"),
+)
+def u23_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.similarity import pq_assignments
+
+    emb = T(spark, sf_dir, "embeddings")
+    return pq_assignments(emb, m=8, k_codes=4).select(
+        "vec_id", "sub", "code", F.round("sqerr", 6).alias("sqerr_r")
+    )
+
+
+def _lloyd_oracle(dim: int = 64, k: int = 8, iters: int = 3) -> str:
+    """Unrolled ``iters``-iteration Lloyd replay: assignment by
+    norm-expanded squared L2 (same sequential-sum shape as the Spark
+    kernel), centroid update as per-dimension AVG reassembled in
+    dimension order. The final SELECT is the last assignment — integer
+    output, so cross-engine float summation-order ulps in the interior
+    centroids cannot surface unless a vector sits exactly on a Voronoi
+    boundary (none do in this corpus; same risk class s05/u06 carry)."""
+    sq = (
+        "(list_dot_product(x.v, x.v)) + (list_dot_product(c.cv, c.cv))"
+        " - 2*(list_dot_product(x.v, c.cv))"
+    )
+    parts = [
+        """vecs AS (
+          SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+          FROM embeddings
+        )""",
+        f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT x.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY x.vec_id ORDER BY {sq}, c.cent_id
+                   ) AS rn
+            FROM vecs x, c{i - 1} c
+          ) WHERE rn = 1
+        )""")
+        if i < iters:
+            parts.append(f"""c{i} AS (
+          SELECT cent_id, list(m ORDER BY d) AS cv FROM (
+            SELECT a.cent_id, u.d, AVG(x.v[u.d]) AS m
+            FROM a{i} a JOIN vecs x USING (vec_id),
+                 UNNEST(range(1, {dim + 1})) AS u(d)
+            GROUP BY a.cent_id, u.d
+          ) GROUP BY cent_id
+        )""")
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT a.vec_id, a.cent_id FROM a{iters} a
+    """
+
+
+@register(
+    "u24_kmeans_lloyd",
+    oracle=_lloyd_oracle(),
+    doc="Lloyd k-means run for 3 full iterations (k=8 seeded from the "
+    "corpus head): the iterative-algorithm form s05's single step "
+    "promises. Each iteration is one broadcast join (centroids are "
+    "k·dim doubles — catalog-scale) + an argmin groupBy + a per-"
+    "dimension AVG reassembled into the next centroid array; vectors "
+    "never leave the executors and nothing is collected. The driver "
+    "composes the 3-iteration plan lazily; at a real fixpoint loop the "
+    "centroid table would be checkpointed per round to cut lineage. "
+    "Output is the final integer assignment, fully replayed by a "
+    "3-iteration unrolled CTE chain in the oracle.",
+    tags=("similarity", "kmeans", "iterative", "llm-pipeline"),
+)
+def u24_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(T(spark, sf_dir, "embeddings"), k=8, iters=3)

@@ -845,3 +845,70 @@ def test_source_token_drift_shape(spark):
         assert all(r.ratio > 0 for r in rs)
         ratios = [r.ratio for r in rs]
         assert ratios == sorted(ratios, reverse=True)
+
+
+def test_pq_seed_vectors_reconstruct_exactly(spark):
+    from gov_ec_pipeline_etl_spark.operators.similarity import pq_assignments
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = pq_assignments(emb, m=4, k_codes=3).collect()
+    assert len(out) == 12 * 4  # one row per (vector, sub-space)
+    for r in out:
+        assert 0 <= r.code < 3
+        assert r.sqerr >= -1e-12
+        if r.vec_id < 3:  # seed vectors ARE codewords: exact reconstruction
+            assert r.code == r.vec_id
+            assert abs(r.sqerr) < 1e-9
+
+
+def test_pq_distance_matches_numpy(spark):
+    import numpy as np
+
+    from gov_ec_pipeline_etl_spark.operators.similarity import pq_assignments
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(10, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        (r.vec_id, r.sub): (r.code, r.sqerr)
+        for r in pq_assignments(emb, m=4, k_codes=3).collect()
+    }
+    d = 2
+    for i in range(10):
+        for s in range(4):
+            x = mat[i, s * d : s * d + d]
+            dists = [
+                float(np.sum((x - mat[c, s * d : s * d + d]) ** 2))
+                for c in range(3)
+            ]
+            best = min(range(3), key=lambda c: (dists[c], c))
+            code, sqerr = out[(i, s)]
+            assert code == best
+            assert abs(sqerr - dists[best]) < 1e-9
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    from gov_ec_pipeline_etl_spark.operators.similarity import kmeans_lloyd
+
+    import random
+
+    rng = random.Random(3)
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    # ids 0..2 are one seed point per blob (low-id seeding), the rest
+    # interleave across blobs so convergence isn't an artifact of order
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.5, 0.5) for v in c]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r.cent_id for r in kmeans_lloyd(emb, k=3, iters=3).collect()}
+    assert set(got) == set(range(60))
+    for i, cid in got.items():
+        assert cid == i % 3  # every point lands with its blob's seed
