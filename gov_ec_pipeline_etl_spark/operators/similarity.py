@@ -688,3 +688,110 @@ def kmeans_lloyd(
                 .localCheckpoint(eager=True)
             )
     return assigned.select("vec_id", "cent_id")
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k_codes: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ search — the composed 100 TB ANN architecture: IVF prunes
+    WHICH vectors a query scores (nprobe of k_centroids inverted
+    lists), PQ's asymmetric distance computation (ADC) ranks those
+    candidates from their m-byte codes without touching the raw
+    vectors. Raw vectors are read exactly twice at build time (assign +
+    encode) and never at query time; per-query cost is
+    O(corpus/k_centroids · nprobe) code-table rows plus an
+    m·k_codes-entry distance lookup table per query (tiny, broadcast).
+
+    All three stages are deterministic arithmetic (low-id centroid and
+    codebook seeding, cosine probe ranking, norm-expanded squared-L2
+    ADC with low-id tie-breaks), so unlike hyperplane-LSH ANN the whole
+    approximate search is exactly replayable by the SQL oracle.
+
+    Output: (query_id, neighbor_id, rnk) by ascending ADC distance."""
+    dim = vec_dim(emb, vec_col)
+    d = dim // m
+    vecs = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    cents = vecs.where(F.col("vec_id") < k_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    # IVF: corpus → nearest centroid (cosine argmax, low-id tie-break)
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", cosine("v", "cv", dim).alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cent_id", F.struct(F.col("cos"), -F.col("cent_id"))).alias(
+                "cent_id"
+            ),
+            F.first("v").alias("v"),
+        )
+    )
+    # PQ: corpus → m code rows per vector (codebook = head sub-slices)
+    subs = F.array(*[F.slice("v", s * d + 1, d) for s in range(m)])
+    codebook = vecs.where(F.col("vec_id") < k_codes).select(
+        F.col("vec_id").alias("code"), F.posexplode(subs).alias("sub", "c")
+    )
+    codes = (
+        assigned.select("vec_id", "cent_id", F.posexplode(subs).alias("sub", "x"))
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "vec_id", "cent_id", "sub", "code",
+            F.expr(sq_l2_sql("x", "c", d)).alias("dist"),
+        )
+        .groupBy("vec_id", "cent_id", "sub")
+        .agg(F.min_by("code", F.struct(F.col("dist"), F.col("code"))).alias("code"))
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    # probe the nprobe nearest centroids per query (cosine, tiny)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", cosine("qv", "cv", dim).alias("cos"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    # ADC lookup table: distance from each query sub-slice to each
+    # codeword — n_queries · m · k_codes rows, broadcast
+    qsubs = F.array(*[F.slice("qv", s * d + 1, d) for s in range(m)])
+    lut = (
+        q.select("query_id", F.posexplode(qsubs).alias("sub", "qx"))
+        .join(F.broadcast(codebook.withColumnRenamed("c", "cb")), "sub")
+        .select(
+            "query_id", "sub", "code",
+            F.expr(sq_l2_sql("qx", "cb", d)).alias("dq"),
+        )
+    )
+    # candidates = code rows in probed partitions; ADC = Σ_sub lut[dq]
+    cand = codes.join(
+        F.broadcast(probes.select("query_id", "cent_id")), "cent_id"
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dq").alias("adc"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )

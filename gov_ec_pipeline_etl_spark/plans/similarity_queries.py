@@ -510,3 +510,121 @@ def u24_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_ec_pipeline_etl_spark.operators.similarity import kmeans_lloyd
 
     return kmeans_lloyd(T(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
+def _ivfpq_oracle(
+    dim: int = 64,
+    k_cent: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k_codes: int = 4,
+    k: int = 5,
+    n_queries: int = 10,
+) -> str:
+    """Full replay of ivfpq_topk: IVF assignment (cosine argmax, low-id
+    tie-break), PQ codes (norm-expanded squared L2, low-code
+    tie-break), per-query ADC lookup table, Σ_sub ADC ranking."""
+    d = dim // m
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    sq = (
+        "(list_dot_product({a}, {a})) + (list_dot_product({b}, {b}))"
+        " - 2*(list_dot_product({a}, {b}))"
+    )
+    return f"""
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        cents AS (
+          SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id < {k_cent}
+        ),
+        assigned AS (
+          SELECT vec_id, cent_id, v FROM (
+            SELECT x.vec_id, c.cent_id, x.v,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY x.vec_id
+                     ORDER BY {cos.format(a='x.v', b='c.cv')} DESC, c.cent_id
+                   ) AS rn
+            FROM vecs x, cents c
+          ) WHERE rn = 1
+        ),
+        codebook AS (
+          SELECT vec_id AS code, CAST(u.s AS INTEGER) AS sub,
+                 list_slice(v, u.s*{d}+1, u.s*{d}+{d}) AS c
+          FROM vecs, UNNEST(range(0, {m})) AS u(s)
+          WHERE vec_id < {k_codes}
+        ),
+        codes AS (
+          SELECT vec_id, cent_id, sub, code FROM (
+            SELECT a.vec_id, a.cent_id, cb.sub, cb.code,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id, cb.sub
+                     ORDER BY {sq.format(
+                         a=f"list_slice(a.v, cb.sub*{d}+1, cb.sub*{d}+{d})",
+                         b='cb.c')}, cb.code
+                   ) AS rn
+            FROM assigned a, codebook cb
+          ) WHERE rn = 1
+        ),
+        queries AS (
+          SELECT vec_id AS query_id, v AS qv FROM vecs
+          WHERE vec_id < {n_queries}
+        ),
+        probes AS (
+          SELECT query_id, cent_id FROM (
+            SELECT q.query_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {cos.format(a='q.qv', b='c.cv')} DESC, c.cent_id
+                   ) AS pr
+            FROM queries q, cents c
+          ) WHERE pr <= {nprobe}
+        ),
+        lut AS (
+          SELECT q.query_id, cb.sub, cb.code,
+                 {sq.format(
+                     a=f"list_slice(q.qv, cb.sub*{d}+1, cb.sub*{d}+{d})",
+                     b='cb.c')} AS dq
+          FROM queries q, codebook cb
+        ),
+        scored AS (
+          SELECT c.query_id, k.vec_id AS neighbor_id, SUM(l.dq) AS adc
+          FROM probes c
+          JOIN codes k ON k.cent_id = c.cent_id AND k.vec_id <> c.query_id
+          JOIN lut l ON l.query_id = c.query_id
+                    AND l.sub = k.sub AND l.code = k.code
+          GROUP BY c.query_id, k.vec_id
+        )
+        SELECT query_id, neighbor_id, rnk FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adc, neighbor_id
+                 ) AS rnk
+          FROM scored
+        ) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "u25_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    doc="IVF-PQ search — the composed 100 TB ANN architecture: IVF "
+    "prunes WHICH vectors a query scores (nprobe=2 of 8 inverted "
+    "lists), PQ's asymmetric distance computation ranks the candidates "
+    "from their m-byte codes — raw vectors are never read at query "
+    "time. Per-query cost: O(corpus/K · nprobe) code rows + an "
+    "m·k_codes ADC lookup table (tiny, broadcast). Every stage is "
+    "deterministic arithmetic (low-id seeding, explicit tie-breaks), "
+    "so the entire approximate search is exactly replayed by the SQL "
+    "oracle — the same property u06's IVF and u23's PQ carry "
+    "individually.",
+    tags=("similarity", "ann", "ivf", "quantization", "llm-pipeline"),
+)
+def u25_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, emb.where(F.col("vec_id") < 10))

@@ -912,3 +912,30 @@ def test_kmeans_lloyd_separates_planted_clusters(spark):
     assert set(got) == set(range(60))
     for i, cid in got.items():
         assert cid == i % 3  # every point lands with its blob's seed
+
+
+def test_ivfpq_finds_cluster_neighbors(spark):
+    import random
+
+    from gov_ec_pipeline_etl_spark.operators.similarity import ivfpq_topk
+
+    rng = random.Random(5)
+    # two well-separated blobs in 16-dim; ids 0..7 seed centroids and
+    # 0..3 seed codebooks, alternating blobs so both structures see both
+    rows = []
+    for i in range(40):
+        base = 10.0 if i % 2 == 0 else -10.0
+        rows.append(
+            (i, [base + rng.uniform(-0.5, 0.5) for _ in range(16)])
+        )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 4),
+        k_centroids=4, nprobe=1, m=4, k_codes=4, k=3,
+    ).collect()
+    assert len(out) == 4 * 3
+    for r in out:
+        # ADC over nprobe=1 inverted lists must stay inside the blob:
+        # same parity = same blob by construction
+        assert r.neighbor_id % 2 == r.query_id % 2
+        assert r.neighbor_id != r.query_id
