@@ -782,10 +782,29 @@ def ivfpq_topk(
     cand = codes.join(
         F.broadcast(probes.select("query_id", "cent_id")), "cent_id"
     ).where(F.col("vec_id") != F.col("query_id"))
+    # ADC = Σ_sub dq summed in CANONICAL sub order: F.sum over the m
+    # rows adds in partition-arrival order, so two candidates sharing
+    # the same code tuple (identical addend SETS) could get adc values
+    # differing in ulps and flip the (adc, neighbor_id) rank across
+    # runs/engines. Sorting by sub then folding left-to-right makes the
+    # double bit-identical here and in the oracle's
+    # list_sum(list(dq ORDER BY sub)); m elements, so the interpreted
+    # HOF fold costs nothing.
     scored = (
         cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dq").alias("adc"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("sub"), F.col("dq")))
+                    ),
+                    lambda x: x.dq,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc")
+        )
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")

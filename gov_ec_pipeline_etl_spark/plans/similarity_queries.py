@@ -591,7 +591,8 @@ def _ivfpq_oracle(
           FROM queries q, codebook cb
         ),
         scored AS (
-          SELECT c.query_id, k.vec_id AS neighbor_id, SUM(l.dq) AS adc
+          SELECT c.query_id, k.vec_id AS neighbor_id,
+                 list_sum(list(l.dq ORDER BY l.sub)) AS adc
           FROM probes c
           JOIN codes k ON k.cent_id = c.cent_id AND k.vec_id <> c.query_id
           JOIN lut l ON l.query_id = c.query_id
