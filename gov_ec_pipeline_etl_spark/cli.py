@@ -41,7 +41,9 @@ def _index_cmd(args) -> int:
     spark = get_spark("gov-ec-pipeline-etl-index")
     if args.action == "build":
         kind = args.kind or "ngram"
-        args.id_col = args.id_col or ("vec_id" if kind == "ivf" else "doc_id")
+        args.id_col = args.id_col or (
+            "vec_id" if kind in ("ivf", "ivfpq") else "doc_id"
+        )
         docs = spark.read.parquet(args.docs)
         if kind == "ngram":
             dd.write_ngram_index(
@@ -52,9 +54,14 @@ def _index_cmd(args) -> int:
             dd.build_sketch_index(
                 docs, args.id_col, args.text_col, args.index_path, k=args.k
             )
-        else:
+        elif kind == "ivf":
             sim.build_ivf(
                 docs, args.index_path, args.k_centroids, args.id_col, args.vec_col
+            )
+        else:
+            sim.build_ivfpq(
+                docs, args.index_path, args.k_centroids,
+                args.pq_m, args.pq_codes, args.id_col, args.vec_col,
             )
         meta = dd.read_index_meta(args.index_path)
         print(json.dumps({"built": args.index_path, **meta}))
@@ -62,7 +69,9 @@ def _index_cmd(args) -> int:
 
     meta = dd.read_index_meta(args.index_path)
     kind = meta.get("kind", "ngram")
-    args.id_col = args.id_col or ("vec_id" if kind == "ivf" else "doc_id")
+    args.id_col = args.id_col or (
+        "vec_id" if kind in ("ivf", "ivfpq") else "doc_id"
+    )
 
     if args.action == "stats":
         if kind == "ngram":
@@ -71,7 +80,7 @@ def _index_cmd(args) -> int:
         elif kind == "minhash":
             idx = dd.read_sketch_index(spark, args.index_path)
             ids = "id"
-        else:
+        else:  # ivf / ivfpq share the centroid-partitioned layout
             idx = spark.read.parquet(args.index_path + "/data")
             ids = "vec_id"
         print(json.dumps({
@@ -87,6 +96,7 @@ def _index_cmd(args) -> int:
             "ngram": dd.compact_ngram_index,
             "minhash": dd.compact_sketch_index,
             "ivf": sim.compact_ivf,
+            "ivfpq": sim.compact_ivf,  # same centroid-partitioned layout
         }[kind]
         print(json.dumps(fn(spark, args.index_path, args.files_per_partition)))
         return 0
@@ -101,8 +111,12 @@ def _index_cmd(args) -> int:
             n = dd.append_to_sketch_index(
                 docs, spark, args.index_path, args.id_col, args.text_col
             )
-        else:
+        elif kind == "ivf":
             n = sim.append_to_ivf(
+                docs, spark, args.index_path, args.id_col, args.vec_col
+            )
+        else:
+            n = sim.append_to_ivfpq(
                 docs, spark, args.index_path, args.id_col, args.vec_col
             )
         print(json.dumps({"appended_rows": n}))
@@ -122,8 +136,14 @@ def _index_cmd(args) -> int:
                 args.id_col, args.text_col,
                 k=meta["k"], threshold=args.threshold,
             )
-        else:
+        elif kind == "ivf":
             out = sim.ivf_topk(
+                spark, args.index_path, docs,
+                nprobe=args.nprobe, k=args.topk,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        else:
+            out = sim.ivfpq_topk_stored(
                 spark, args.index_path, docs,
                 nprobe=args.nprobe, k=args.topk,
                 id_col=args.id_col, vec_col=args.vec_col,
@@ -145,7 +165,10 @@ def _index_cmd(args) -> int:
             )
             out = dd.jaccard_verify(cand, sk, args.threshold, on="h60")
         else:
-            print("index pairs is not defined for kind=ivf (use probe)", file=sys.stderr)
+            print(
+                f"index pairs is not defined for kind={kind} (use probe)",
+                file=sys.stderr,
+            )
             return 2
     with released(out) as df:
         rows = df.limit(args.limit).collect()
@@ -178,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
     # The operators existed as query-level APIs; this makes them
     # operable (r4 VERDICT #5).
     pi = sub.add_parser(
-        "index", help="stored index lifecycle (n-gram / minhash / ivf)"
+        "index", help="stored index lifecycle (n-gram / minhash / ivf / ivfpq)"
     )
     pi.add_argument(
         "action", choices=["build", "probe", "ingest", "pairs", "compact", "stats"]
@@ -186,12 +209,12 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("index_path")
     pi.add_argument("docs", nargs="?", help="input parquet (build/probe/ingest)")
     pi.add_argument(
-        "--kind", choices=["ngram", "minhash", "ivf"], default=None,
+        "--kind", choices=["ngram", "minhash", "ivf", "ivfpq"], default=None,
         help="index kind (build only; later actions read it from _meta.json)",
     )
     pi.add_argument(
         "--id-col", default=None,
-        help="defaults to doc_id (ngram/minhash) or vec_id (ivf)",
+        help="defaults to doc_id (ngram/minhash) or vec_id (ivf/ivfpq)",
     )
     pi.add_argument("--text-col", default="text")
     pi.add_argument("--vec-col", default="embedding")
@@ -199,6 +222,8 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--max-df", type=int, default=50)
     pi.add_argument("--hash-dirs", type=int, default=16)
     pi.add_argument("--k-centroids", type=int, default=8)
+    pi.add_argument("--pq-m", type=int, default=8)
+    pi.add_argument("--pq-codes", type=int, default=4)
     pi.add_argument("--nprobe", type=int, default=2)
     pi.add_argument("--topk", type=int, default=5)
     pi.add_argument("--threshold", type=float, default=0.5)

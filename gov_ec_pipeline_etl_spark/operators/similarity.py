@@ -690,6 +690,112 @@ def kmeans_lloyd(
     return assigned.select("vec_id", "cent_id")
 
 
+def _pq_subs(col: str, d: int, m: int):
+    """Array of the m contiguous dim/m sub-slices of a vector column."""
+    return F.array(*[F.slice(col, s * d + 1, d) for s in range(m)])
+
+
+def _pq_encode_rows(assigned: DataFrame, codebook: DataFrame, d: int, m: int) -> DataFrame:
+    """(vec_id, cent_id, sub, code): nearest codeword per sub-space by
+    squared L2, low code id breaking ties. ``assigned``: (vec_id,
+    cent_id, v); ``codebook``: (code, sub, c) — m·k rows, broadcast."""
+    return (
+        assigned.select(
+            "vec_id", "cent_id", F.posexplode(_pq_subs("v", d, m)).alias("sub", "x")
+        )
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "vec_id", "cent_id", "sub", "code",
+            F.expr(sq_l2_sql("x", "c", d)).alias("dist"),
+        )
+        .groupBy("vec_id", "cent_id", "sub")
+        .agg(F.min_by("code", F.struct(F.col("dist"), F.col("code"))).alias("code"))
+    )
+
+
+def _pq_query_lut(q: DataFrame, codebook: DataFrame, d: int, m: int) -> DataFrame:
+    """ADC lookup table: distance from each query sub-slice to each
+    codeword — n_queries · m · k_codes rows, broadcast at use."""
+    return (
+        q.select("query_id", F.posexplode(_pq_subs("qv", d, m)).alias("sub", "qx"))
+        .join(F.broadcast(codebook.withColumnRenamed("c", "cb")), "sub")
+        .select(
+            "query_id", "sub", "code",
+            F.expr(sq_l2_sql("qx", "cb", d)).alias("dq"),
+        )
+    )
+
+
+def _adc_topk(code_rows: DataFrame, probes: DataFrame, lut: DataFrame, k: int) -> DataFrame:
+    """Rank probed candidates by ADC distance from their code rows.
+
+    ADC = Σ_sub dq summed in CANONICAL sub order: F.sum over the m rows
+    adds in partition-arrival order, so two candidates sharing the same
+    code tuple (identical addend SETS) could get adc values differing
+    in ulps and flip the (adc, neighbor_id) rank across runs/engines.
+    Sorting by sub then folding left-to-right makes the double
+    bit-identical here and in the oracle's
+    list_sum(list(dq ORDER BY sub)); m elements, so the interpreted HOF
+    fold costs nothing."""
+    cand = code_rows.join(
+        F.broadcast(probes.select("query_id", "cent_id")), "cent_id"
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("sub"), F.col("dq")))
+                    ),
+                    lambda x: x.dq,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc")
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def _ivf_assign(vecs: DataFrame, cents: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, cent_id, v): nearest centroid by cosine, low-id
+    tie-break — the deterministic rule every IVF oracle replays."""
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", cosine("v", "cv", dim).alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cent_id", F.struct(F.col("cos"), -F.col("cent_id"))).alias(
+                "cent_id"
+            ),
+            F.first("v").alias("v"),
+        )
+    )
+
+
+def _ivf_probes(q: DataFrame, cents: DataFrame, dim: int, nprobe: int) -> DataFrame:
+    """(query_id, qv, cent_id): each query's nprobe nearest centroids."""
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id")
+    )
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", cosine("qv", "cv", dim).alias("cos"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -715,7 +821,9 @@ def ivfpq_topk(
     ADC with low-id tie-breaks), so unlike hyperplane-LSH ANN the whole
     approximate search is exactly replayable by the SQL oracle.
 
-    Output: (query_id, neighbor_id, rnk) by ascending ADC distance."""
+    Output: (query_id, neighbor_id, rnk) by ascending ADC distance.
+    ``build_ivfpq``/``ivfpq_topk_stored`` are the deployed form: same
+    arithmetic from a centroid-partitioned code table on disk."""
     dim = vec_dim(emb, vec_col)
     d = dim // m
     vecs = emb.select(
@@ -725,92 +833,146 @@ def ivfpq_topk(
     cents = vecs.where(F.col("vec_id") < k_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    # IVF: corpus → nearest centroid (cosine argmax, low-id tie-break)
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cent_id", cosine("v", "cv", dim).alias("cos"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cent_id", F.struct(F.col("cos"), -F.col("cent_id"))).alias(
-                "cent_id"
-            ),
-            F.first("v").alias("v"),
-        )
-    )
-    # PQ: corpus → m code rows per vector (codebook = head sub-slices)
-    subs = F.array(*[F.slice("v", s * d + 1, d) for s in range(m)])
+    assigned = _ivf_assign(vecs, cents, dim)
     codebook = vecs.where(F.col("vec_id") < k_codes).select(
-        F.col("vec_id").alias("code"), F.posexplode(subs).alias("sub", "c")
+        F.col("vec_id").alias("code"),
+        F.posexplode(_pq_subs("v", d, m)).alias("sub", "c"),
     )
-    codes = (
-        assigned.select("vec_id", "cent_id", F.posexplode(subs).alias("sub", "x"))
-        .join(F.broadcast(codebook), "sub")
-        .select(
-            "vec_id", "cent_id", "sub", "code",
-            F.expr(sq_l2_sql("x", "c", d)).alias("dist"),
-        )
-        .groupBy("vec_id", "cent_id", "sub")
-        .agg(F.min_by("code", F.struct(F.col("dist"), F.col("code"))).alias("code"))
-    )
+    codes = _pq_encode_rows(assigned, codebook, d, m)
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
     )
-    # probe the nprobe nearest centroids per query (cosine, tiny)
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("cent_id")
+    probes = _ivf_probes(q, cents, dim, nprobe)
+    lut = _pq_query_lut(q, codebook, d, m)
+    return _adc_topk(codes, probes, lut, k)
+
+
+def build_ivfpq(
+    emb: DataFrame,
+    path: str,
+    k_centroids: int = 8,
+    m: int = 8,
+    k_codes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF-PQ index: ``path/cents`` (k·dim doubles),
+    ``path/codebook`` (m·k_codes codewords), and ``path/data`` — ONE
+    row per vector, ``(vec_id, codes array<int>)``, partitioned BY
+    centroid id. The raw vectors are NOT stored: the index holds m
+    small ints per vector (the PQ memory story), and searches
+    partition-prune to the probed centroid directories (the IVF seek
+    story). Same deterministic seeding as the in-memory ``ivfpq_topk``
+    so stored and inline searches are bit-identical."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import _write_index_meta
+
+    dim = vec_dim(emb, vec_col)
+    d = dim // m
+    vecs = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
     )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cent_id", cosine("qv", "cv", dim).alias("cos"))
-        .withColumn("pr", F.row_number().over(w_probe))
-        .where(F.col("pr") <= nprobe)
-        .select("query_id", "qv", "cent_id")
+    cents = vecs.where(F.col("vec_id") < k_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    # ADC lookup table: distance from each query sub-slice to each
-    # codeword — n_queries · m · k_codes rows, broadcast
-    qsubs = F.array(*[F.slice("qv", s * d + 1, d) for s in range(m)])
-    lut = (
-        q.select("query_id", F.posexplode(qsubs).alias("sub", "qx"))
-        .join(F.broadcast(codebook.withColumnRenamed("c", "cb")), "sub")
-        .select(
-            "query_id", "sub", "code",
-            F.expr(sq_l2_sql("qx", "cb", d)).alias("dq"),
-        )
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/cents")
+    codebook = vecs.where(F.col("vec_id") < k_codes).select(
+        F.col("vec_id").alias("code"),
+        F.posexplode(_pq_subs("v", d, m)).alias("sub", "c"),
     )
-    # candidates = code rows in probed partitions; ADC = Σ_sub lut[dq]
-    cand = codes.join(
-        F.broadcast(probes.select("query_id", "cent_id")), "cent_id"
-    ).where(F.col("vec_id") != F.col("query_id"))
-    # ADC = Σ_sub dq summed in CANONICAL sub order: F.sum over the m
-    # rows adds in partition-arrival order, so two candidates sharing
-    # the same code tuple (identical addend SETS) could get adc values
-    # differing in ulps and flip the (adc, neighbor_id) rank across
-    # runs/engines. Sorting by sub then folding left-to-right makes the
-    # double bit-identical here and in the oracle's
-    # list_sum(list(dq ORDER BY sub)); m elements, so the interpreted
-    # HOF fold costs nothing.
-    scored = (
-        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+    codebook.coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+    _write_ivfpq_codes(
+        _pq_encode_rows(_ivf_assign(vecs, cents, dim), codebook, d, m),
+        path,
+        mode="overwrite",
+    )
+    _write_index_meta(
+        path,
+        {
+            "kind": "ivfpq",
+            "dim": dim,
+            "k_centroids": k_centroids,
+            "m": m,
+            "k_codes": k_codes,
+        },
+    )
+
+
+def _write_ivfpq_codes(code_rows: DataFrame, path: str, mode: str) -> int:
+    """Pack (vec_id, cent_id, sub, code) rows into one array row per
+    vector and write partitioned by cent_id. Returns rows written."""
+    wide = (
+        code_rows.groupBy("vec_id", "cent_id")
         .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("sub"), F.col("dq")))
-                    ),
-                    lambda x: x.dq,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("adc")
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("sub"), F.col("code")))),
+                lambda x: x.code.cast("int"),
+            ).alias("codes")
         )
+        .persist()
     )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id")
+    n = wide.count()
+    wide.write.mode(mode).partitionBy("cent_id").parquet(path + "/data")
+    wide.unpersist()
+    return n
+
+
+def _read_ivfpq_code_rows(spark, path: str) -> DataFrame:
+    """Stored wide codes back to (vec_id, cent_id, sub, code) rows."""
+    return spark.read.parquet(path + "/data").select(
+        "vec_id", "cent_id", F.posexplode("codes").alias("sub", "code")
     )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w_rank))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk")
+
+
+def append_to_ivfpq(
+    emb: DataFrame, spark, path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> int:
+    """Ingest new vectors: assign to the STORED centroids, encode with
+    the STORED codebooks (both frozen between rebuilds — the standard
+    IVF/PQ trade), append into the partitioned code table. Linear in
+    the batch; corpus rows never rewritten."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import read_index_meta
+
+    meta = read_index_meta(path)
+    dim, m = meta["dim"], meta["m"]
+    vecs = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
     )
+    cents = spark.read.parquet(path + "/cents")
+    codebook = spark.read.parquet(path + "/codebook")
+    rows = _pq_encode_rows(
+        _ivf_assign(vecs, cents, dim), codebook, dim // m, m
+    )
+    return _write_ivfpq_codes(rows, path, mode="append")
+
+
+def ivfpq_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k ADC search against a stored IVF-PQ index built by
+    ``build_ivfpq``: probe ranking from ``cents``, lookup table from
+    ``codebook``, candidates partition-pruned from the centroid-
+    partitioned code table. Raw vectors are never read — the stored
+    side of the search is m ints per candidate."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import read_index_meta
+
+    meta = read_index_meta(path)
+    dim, m = meta["dim"], meta["m"]
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    cents = spark.read.parquet(path + "/cents")
+    codebook = spark.read.parquet(path + "/codebook")
+    probes = _ivf_probes(q, cents, dim, nprobe)
+    lut = _pq_query_lut(q, codebook, dim // m, m)
+    return _adc_topk(_read_ivfpq_code_rows(spark, path), probes, lut, k)

@@ -424,6 +424,7 @@ def _pq_oracle(dim: int = 64, m: int = 8, k_codes: int = 4) -> str:
 
 @register(
     "u23_pq_encode",
+    bench=True,
     oracle=_pq_oracle(),
     doc="Product quantization encode + reconstruction loss: each 64-dim "
     "vector becomes 8 sub-space code ids (nearest codeword by squared "
@@ -611,6 +612,7 @@ def _ivfpq_oracle(
 
 @register(
     "u25_ivfpq_topk",
+    bench=True,
     oracle=_ivfpq_oracle(),
     doc="IVF-PQ search — the composed 100 TB ANN architecture: IVF "
     "prunes WHICH vectors a query scores (nprobe=2 of 8 inverted "

@@ -939,3 +939,68 @@ def test_ivfpq_finds_cluster_neighbors(spark):
         # same parity = same blob by construction
         assert r.neighbor_id % 2 == r.query_id % 2
         assert r.neighbor_id != r.query_id
+
+
+def test_ivfpq_index_lifecycle_cli(spark, tmp_path, capsys):
+    """IVF-PQ index: build (codes-only centroid-partitioned layout) →
+    stored probe matches the in-memory ivfpq_topk bit-for-bit → ingest
+    (frozen centroids + codebooks) → compact → identical re-probe."""
+    import json as _json
+
+    import numpy as np
+
+    from gov_ec_pipeline_etl_spark.cli import main
+    from gov_ec_pipeline_etl_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((60, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    emb_pq = str(tmp_path / "emb")
+    emb.write.parquet(emb_pq)
+    arr = [(900, [float(x) for x in rng.standard_normal(16)])]
+    arr_pq = str(tmp_path / "arr")
+    spark.createDataFrame(arr, ["vec_id", "embedding"]).write.parquet(arr_pq)
+    idx = str(tmp_path / "ivfpq_idx")
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        return sorted(lines[:-1]), lines[-1]
+
+    run("index", "build", idx, emb_pq, "--kind", "ivfpq",
+        "--k-centroids", "4", "--pq-m", "4", "--pq-codes", "4")
+    stats = _json.loads(run("index", "stats", idx)[1])
+    assert stats["rows"] == 60 and stats["kind"] == "ivfpq"
+
+    # the raw vectors are NOT in the index: only codes
+    files = spark.read.parquet(idx + "/data")
+    assert set(files.columns) == {"vec_id", "codes", "cent_id"}
+
+    # stored search == in-memory search (same seeding, same arithmetic)
+    queries = emb.where(F.col("vec_id") < 5)
+    mem = sorted(
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in ivfpq_topk(
+            emb, queries, k_centroids=4, nprobe=2, m=4, k_codes=4, k=3
+        ).collect()
+    )
+    probe0, _ = run(
+        "index", "probe", idx, emb_pq, "--nprobe", "2", "--topk", "3",
+        "--limit", "1000",
+    )
+    # CLI probe runs ALL 60 vectors as queries; filter to the 5
+    got = sorted(
+        (d["query_id"], d["neighbor_id"], d["rnk"])
+        for d in map(_json.loads, probe0)
+        if d["query_id"] < 5
+    )
+    assert got == mem
+
+    run("index", "ingest", idx, arr_pq)
+    assert _json.loads(run("index", "stats", idx)[1])["rows"] == 61
+    probe1 = run("index", "probe", idx, arr_pq, "--topk", "3", "--limit", "1000")
+
+    res = _json.loads(run("index", "compact", idx)[1])
+    assert res["files_after"] <= res["files_before"]
+    assert run("index", "probe", idx, arr_pq, "--topk", "3", "--limit", "1000") == probe1
