@@ -513,7 +513,7 @@ def u24_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(T(spark, sf_dir, "embeddings"), k=8, iters=3)
 
 
-def _ivfpq_oracle(
+def _ivfpq_ctes(
     dim: int = 64,
     k_cent: int = 8,
     nprobe: int = 2,
@@ -522,9 +522,11 @@ def _ivfpq_oracle(
     k: int = 5,
     n_queries: int = 10,
 ) -> str:
-    """Full replay of ivfpq_topk: IVF assignment (cosine argmax, low-id
-    tie-break), PQ codes (norm-expanded squared L2, low-code
-    tie-break), per-query ADC lookup table, Σ_sub ADC ranking."""
+    """CTE-body replay of ivfpq_topk (ends in an ``ivfpq`` CTE): IVF
+    assignment (cosine argmax, low-id tie-break), PQ codes
+    (norm-expanded squared L2, low-code tie-break), per-query ADC
+    lookup table, Σ_sub ADC ranking. Shared by u25 (result itself) and
+    u26 (recall of that result vs the exact scan)."""
     d = dim // m
     cos = (
         "list_dot_product({a}, {b}) / "
@@ -534,8 +536,7 @@ def _ivfpq_oracle(
         "(list_dot_product({a}, {a})) + (list_dot_product({b}, {b}))"
         " - 2*(list_dot_product({a}, {b}))"
     )
-    return f"""
-        WITH vecs AS (
+    return f"""vecs AS (
           SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
           FROM embeddings
         ),
@@ -599,15 +600,91 @@ def _ivfpq_oracle(
           JOIN lut l ON l.query_id = c.query_id
                     AND l.sub = k.sub AND l.code = k.code
           GROUP BY c.query_id, k.vec_id
+        ),
+        ivfpq AS (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY adc, neighbor_id
+                   ) AS rnk
+            FROM scored
+          ) WHERE rnk <= {k}
+        )"""
+
+
+def _ivfpq_oracle(**kw) -> str:
+    return (
+        "WITH "
+        + _ivfpq_ctes(**kw)
+        + "\n        SELECT query_id, neighbor_id, rnk FROM ivfpq"
+    )
+
+
+def _ivfpq_recall_oracle(k: int = 5, n_queries: int = 10) -> str:
+    """Recall@k of the IVF-PQ search vs the exact cosine scan — both
+    replayed from the same ``vecs`` CTE, recall arithmetic identical to
+    u19/u22's."""
+    return f"""
+        WITH {_ivfpq_ctes(k=k, n_queries=n_queries)},
+        exact_scored AS (
+          SELECT q.query_id, n.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, n.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(n.v, n.v))) AS cos
+          FROM queries q, vecs n
+          WHERE n.vec_id <> q.query_id
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                   ) AS rnk
+            FROM exact_scored
+          ) WHERE rnk <= {k}
+        ),
+        hit AS (
+          SELECT e.query_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_exact,
+                 CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM exact e LEFT JOIN ivfpq a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY e.query_id
+        ),
+        acnt AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann
+          FROM ivfpq GROUP BY query_id
         )
-        SELECT query_id, neighbor_id, rnk FROM (
-          SELECT query_id, neighbor_id,
-                 ROW_NUMBER() OVER (
-                   PARTITION BY query_id ORDER BY adc, neighbor_id
-                 ) AS rnk
-          FROM scored
-        ) WHERE rnk <= {k}
+        SELECT h.query_id, h.n_exact,
+               CAST(COALESCE(a.n_ann, 0) AS BIGINT) AS n_ann, h.n_hit,
+               ROUND(CAST(h.n_hit AS DOUBLE) / h.n_exact, 3) AS recall_at_k
+        FROM hit h LEFT JOIN acnt a ON h.query_id = a.query_id
     """
+
+
+@register(
+    "u26_ivfpq_recall",
+    oracle=_ivfpq_recall_oracle(),
+    doc="In-engine IVF-PQ quality measurement: recall@5 of u25's "
+    "composed search (IVF pruning + PQ ADC ranking) against the exact "
+    "brute-force top-k, completing the quality trio the approximate "
+    "paths carry (u19 LSH, u22 IVF, u26 IVF-PQ). This is the dial that "
+    "separates the two error sources at 100 TB: u22-minus-u26 is the "
+    "quantization loss, 1-minus-u22 is the pruning loss. Same "
+    "topk_recall operator; both sides and the recall arithmetic replay "
+    "fully in the DuckDB oracle.",
+    tags=("similarity", "ann", "ivf", "quantization", "quality", "llm-pipeline"),
+)
+def u26_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.similarity import (
+        ivfpq_topk,
+        topk_recall,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
+    return topk_recall(exact, ivfpq_topk(emb, emb.where(F.col("vec_id") < 10)))
 
 
 @register(
