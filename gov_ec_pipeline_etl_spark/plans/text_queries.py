@@ -515,3 +515,129 @@ def u21_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("source", "tok", "rnk", F.round("ratio", 6).alias("ratio"))
     )
+
+
+# BM25 weight for one matched term, as ONE shared SQL expression shape
+# (k1=1.2, b=0.75 inlined; 1-b = 0.25) — both engines evaluate the same
+# tree, so per-term weights differ only by the last-ulp of ln(), which
+# the round(…,6) on the summed score absorbs.
+_BM25_W = (
+    "ln(1.0 + ({n} - df + 0.5) / (df + 0.5))"
+    " * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / {avgdl})))"
+)
+
+
+@register(
+    "u27_bm25_topk",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+          FROM documents
+        ),
+        term_rows AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+        dl AS (SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl FROM toks),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM term_rows GROUP BY doc_id, tok
+        ),
+        df AS (
+          SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+        ),
+        qterms AS (
+          SELECT DISTINCT doc_id AS query_id, unnest(l[1:8]) AS tok
+          FROM toks WHERE doc_id < 5
+        ),
+        weights AS (
+          SELECT q.query_id, t.doc_id, q.tok,
+                 {_BM25_W.format(n='s.n', avgdl='s.avgdl')} AS w
+          FROM qterms q
+          JOIN tf t ON t.tok = q.tok
+          JOIN df f ON f.tok = t.tok
+          JOIN dl ON dl.doc_id = t.doc_id
+          CROSS JOIN stats s
+        ),
+        scores AS (
+          SELECT query_id, doc_id,
+                 ROUND(list_sum(list(w ORDER BY tok)), 6) AS score_r
+          FROM weights GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, rnk, score_r FROM (
+          SELECT query_id, doc_id, score_r,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score_r DESC, doc_id
+                 ) AS rnk
+          FROM scores
+        ) WHERE rnk <= 10
+    """,
+    doc="BM25 lexical retrieval (k1=1.2, b=0.75): 5 query documents "
+    "(their first 8 tokens) ranked against the whole corpus — the "
+    "standard sparse scorer that pairs with the dense ANN tier for "
+    "hybrid retrieval. tf/df/dl are the inverted-index statistics the "
+    "n-gram machinery already materializes at scale; query terms are "
+    "broadcast, so the only data-scale shuffles are the tf/df "
+    "aggregates themselves. Per-term weights share one SQL expression "
+    "shape across engines; scores are summed in canonical term order "
+    "and ROUNDED BEFORE RANKING, so the cross-engine rank is exact "
+    "(tie-break by doc_id).",
+    tags=("text", "retrieval", "llm-pipeline"),
+)
+def u27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    toks = d.select("doc_id", F.split(norm, " ").alias("l"))
+    term_rows = toks.select("doc_id", F.explode("l").alias("tok"))
+    dl = toks.select("doc_id", F.size("l").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = term_rows.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qterms = (
+        toks.where(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("l", 1, 8)).alias("tok"),
+        )
+        .distinct()
+    )
+    weights = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(df, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", "tok",
+            F.expr(_BM25_W.format(n="n", avgdl="avgdl")).alias("w"),
+        )
+    )
+    # canonical-order fold (ORDER BY tok) — same cross-engine ulp
+    # discipline as the ADC sum; query term sets are ≤8 elements
+    scores = weights.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tok", "w"))),
+                    lambda x: x.w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("score_r")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "rnk", "score_r")
+    )
