@@ -180,8 +180,20 @@ def minhash_band_keys(
     ``minhash_signature``, then banded keys. Reusable across batches —
     the incremental-dedup path banding a new batch against a stored
     corpus sketch calls this on each side."""
+    return band_keys_from_signature(
+        minhash_signature(sh, num_hashes), num_hashes, bands
+    )
+
+
+def band_keys_from_signature(
+    sig: DataFrame, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """(id, band_idx, band_key) from an already-computed signature frame
+    (id, s0..s{n-1}). Callers that need BOTH the signature columns and
+    the band keys (the estimator-error measurement) compute the
+    signature once and derive bands from it, instead of paying the
+    signature's sketch-wide min-aggregate shuffle twice."""
     rows = num_hashes // bands
-    sig = minhash_signature(sh, num_hashes)
     banded_keys = sig.select(
         "id",
         F.array(
@@ -262,7 +274,12 @@ def minhash_estimate_vs_exact(
     jaccard (exact, rounded 6), abs_err (rounded 6).
     """
     sh = minhash_sketch(df, id_col, text_col, k, portable)
-    banded = minhash_band_keys(sh, num_hashes, bands)
+    # ONE signature aggregation: band keys and the estimator columns
+    # both derive from this persisted frame (the naive spelling pays
+    # the sketch-wide min-aggregate shuffle twice).
+    sig = minhash_signature(sh, num_hashes).persist()
+    sig.count()
+    banded = band_keys_from_signature(sig, num_hashes, bands)
     buckets = (
         banded.groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -271,7 +288,6 @@ def minhash_estimate_vs_exact(
     pairs = jaccard_verify(
         _bucket_pairs(buckets), sh.select("id", "h60"), jaccard_threshold, on="h60"
     )
-    sig = minhash_signature(sh, num_hashes)
     sig_a = sig.select(
         F.col("id").alias("id_a"),
         *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)],
@@ -306,7 +322,7 @@ def minhash_estimate_vs_exact(
             ).alias("abs_err"),
         )
     )
-    return hold(out, sh)
+    return hold(out, sh, sig)
 
 
 def _bucket_pairs(buckets: DataFrame) -> DataFrame:
