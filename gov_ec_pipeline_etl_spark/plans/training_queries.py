@@ -1674,3 +1674,104 @@ def u17_ngram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_incremental_against_index(
         arrivals, spark, path, threshold=0.5
     )
+
+
+# --- deterministic splits + leakage audit --------------------------------
+
+_DIRTY_WITH_SOURCE_SQL = f"""
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id + {MUT_OFFSET} AS doc_id, source FROM documents
+"""
+
+
+def _split_oracle() -> str:
+    from gov_ec_pipeline_etl_spark.operators.splits import stratified_split_sql
+
+    return stratified_split_sql(
+        "SELECT doc_id, source FROM documents", "doc_id", "source"
+    )
+
+
+@register(
+    "u28_stratified_split",
+    oracle=_split_oracle(),
+    doc="Deterministic stratified train/val/test split (800/100/100 ppt, "
+    "exact per-source counts): rank by portable hash within stratum, "
+    "integer-threshold assignment. The engine computes the rank "
+    "hierarchically — hash-prefix buckets, broadcast cumulative "
+    "offsets, within-bucket row_number — so no stratum ever occupies "
+    "one window partition at 100 TB; the oracle runs the equivalent "
+    "global-window definition, proving the decomposition exact.",
+    tags=("llm-pipeline", "sampling", "split"),
+)
+def u28_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.splits import stratified_split
+
+    return stratified_split(
+        T(spark, sf_dir, "documents"), "doc_id", "source"
+    )
+
+
+def _leakage_oracle() -> str:
+    from gov_ec_pipeline_etl_spark.operators.splits import stratified_split_sql
+    from gov_ec_pipeline_etl_spark.plans.dedup_queries import _minhash_oracle
+
+    return f"""
+        WITH pairs AS ({_minhash_oracle()}),
+        splits AS ({stratified_split_sql(_DIRTY_WITH_SOURCE_SQL, "doc_id", "source")})
+        SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+               p.jaccard
+        FROM pairs p
+        JOIN splits sa ON sa.id = p.id_a
+        JOIN splits sb ON sb.id = p.id_b
+        WHERE sa.split <> sb.split
+    """
+
+
+@register(
+    "u29_split_leakage_check",
+    oracle=_leakage_oracle(),
+    doc="Split-leakage audit: near-duplicate pairs (d02's MinHash+LSH "
+    "semantics, exact-Jaccard >= 0.5) whose members land in DIFFERENT "
+    "splits of u28's deterministic stratified assignment — the check a "
+    "pretraining pipeline runs before trusting val/test numbers, since "
+    "a near-copy of a train document in the held-out split inflates "
+    "eval. Composition of two oracled operators; the near-dup pair set "
+    "is LSH-bounded and the split table joins by id, so the audit adds "
+    "two hash joins to the dedup cost — no new quadratic surface.",
+    tags=("llm-pipeline", "dedup", "split", "audit"),
+)
+def u29_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import minhash_lsh_pairs
+    from gov_ec_pipeline_etl_spark.operators.splits import stratified_split
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dirty = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+            F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"),
+            "source",
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        dirty, "doc_id", "text", k=3, num_hashes=12, bands=4,
+        jaccard_threshold=0.5,
+    )
+    splits = stratified_split(
+        dirty.select("doc_id", "source"), "doc_id", "source"
+    )
+    sa = splits.select(
+        F.col("id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+    out._persisted_inputs = getattr(pairs, "_persisted_inputs", [])
+    return out

@@ -1004,3 +1004,92 @@ def test_ivfpq_index_lifecycle_cli(spark, tmp_path, capsys):
     res = _json.loads(run("index", "compact", idx)[1])
     assert res["files_after"] <= res["files_before"]
     assert run("index", "probe", idx, arr_pq, "--topk", "3", "--limit", "1000") == probe1
+
+
+# --- stratified split ----------------------------------------------------
+
+
+def test_stratified_split_exact_proportions_and_stability(spark):
+    """Exact per-stratum counts from the integer thresholds; assignments
+    in a stratum are unchanged when OTHER strata grow (the property that
+    makes the split safe to recompute after ingesting a new source)."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.operators.splits import stratified_split
+
+    rows = [(i, f"s{i % 3}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_split(df, "doc_id", "source").collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["stratum"], r["split"]), 0)
+        by[(r["stratum"], r["split"])] += 1
+    for s in ("s0", "s1", "s2"):
+        n = sum(v for (st, _), v in by.items() if st == s)
+        n_train = sum(1 for r in range(n) if r * 1000 < n * 800)
+        n_val = sum(
+            1 for r in range(n) if n * 800 <= r * 1000 < n * 900
+        )
+        assert by[(s, "train")] == n_train
+        assert by[(s, "val")] == n_val
+        assert by[(s, "test")] == n - n_train - n_val
+    # growing s0 must not move any s1/s2 assignment
+    grown = df.unionByName(
+        spark.createDataFrame(
+            [(10_000 + i, "s0") for i in range(500)], ["doc_id", "source"]
+        )
+    )
+    before = {
+        (r["id"], r["stratum"]): r["split"]
+        for r in out
+        if r["stratum"] != "s0"
+    }
+    after = {
+        (r["id"], r["stratum"]): r["split"]
+        for r in stratified_split(grown, "doc_id", "source").collect()
+        if r["stratum"] != "s0"
+    }
+    assert before == after
+
+
+def test_stratified_split_bucketed_rank_equals_global_window(spark):
+    """The hierarchical (bucket-offset + local row_number) rank must be
+    bit-identical to the one-window-per-stratum definition the oracle
+    runs."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.functions.hashing import hash64
+    from gov_ec_pipeline_etl_spark.operators.splits import (
+        SPLIT_SEED,
+        stratified_split,
+    )
+
+    rows = [(i * 7 + 3, f"s{i % 2}") for i in range(800)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        (r["id"], r["stratum"]): r["split"]
+        for r in stratified_split(df, "doc_id", "source").collect()
+    }
+    h = hash64(F.col("doc_id").cast("string"), SPLIT_SEED)
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    naive = (
+        df.select("doc_id", "source", h.alias("h"))
+        .select(
+            "doc_id",
+            "source",
+            (F.row_number().over(w) - 1).alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("rnk") * 1000 < F.col("n") * 800, "train")
+            .when(F.col("rnk") * 1000 < F.col("n") * 900, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .collect()
+    )
+    want = {(r["doc_id"], r["source"]): r["split"] for r in naive}
+    assert got == want
