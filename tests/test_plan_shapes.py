@@ -226,3 +226,57 @@ def test_planted_skew_salted_paths(spark):
     assert SALT_COL in jplan  # the join keys carry the salt
     assert "CartesianProduct" not in jplan
     assert joined.count() == n  # every row matches exactly one dim row
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """100 TB posture: Spark's InjectRuntimeFilter (default-on) builds a
+    bloom filter from a selectively-filtered join side and pushes it
+    into the big side's scan, pruning shuffle input when the dim side
+    is too big to broadcast. The size thresholds (creation 10 MB,
+    application-scan 10 GB) are met natively at scale; this test lowers
+    the application threshold to make the tiny fixture eligible and
+    pins that the plan carves the filter in — a conf regression (or a
+    future session default disabling it) fails here."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_CORRECT
+
+    to_restore = {
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": None,
+    }
+    for k in to_restore:
+        try:
+            to_restore[k] = spark.conf.get(k)
+        except Exception:
+            pass
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10MB",
+        )
+        li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:800]
+        assert "might_contain" in plan.lower(), plan[:800]
+    finally:
+        for k, v in to_restore.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
