@@ -145,3 +145,38 @@ def st04_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v01_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_attribution_join_stream(spark, sf_dir)
+
+
+from gov_ec_pipeline_etl_spark.plans.training_queries import (
+    INCREMENTAL_NEARDUP_ORACLE as _V02_ORACLE,
+)
+
+
+@register(
+    "v02_streaming_neardup_ingest",
+    oracle=_V02_ORACLE,
+    doc="Streaming near-dup ingest: document arrivals stream in 3 "
+    "micro-batches (file source, maxFilesPerTrigger=1) and each "
+    "foreachBatch runs the asymmetric band join + exact-Jaccard rerank "
+    "against the STORED corpus MinHash index — the production "
+    "deployment of u12. Every result row involves exactly one arrival "
+    "and the batches partition the arrival set, so the streamed union "
+    "equals the one-shot batch result: the oracle is u12's full "
+    "signature replay, making this streaming pipeline hash-checkable "
+    "end to end, not rows-only.",
+    tags=("streaming", "dedup", "incremental", "stored-index", "llm-pipeline"),
+)
+def v02_streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.plans.training_queries import MUT_OFFSET
+    from gov_ec_pipeline_etl_spark.streaming.ingest import (
+        run_streaming_neardup_ingest,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    arrivals = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"),
+    )
+    return run_streaming_neardup_ingest(spark, docs, arrivals, n_batches=3)

@@ -981,10 +981,11 @@ _SIG_SQL = ", ".join(
 )
 
 
-@register(
-    "u12_incremental_neardup",
-    bench=True,
-    oracle=f"""
+# Shared by u12 (one-shot batch) and v02 (streamed micro-batches): the
+# streaming run partitions the SAME arrival set across foreachBatch
+# invocations, and every result row involves exactly one arrival, so
+# both forms equal this one statement.
+INCREMENTAL_NEARDUP_ORACLE = f"""
         WITH corpus AS (SELECT doc_id, text FROM documents),
         arrivals AS (
           SELECT doc_id + {MUT_OFFSET} AS doc_id, text || ' zz0 zz1 zz2' AS text
@@ -1042,7 +1043,13 @@ _SIG_SQL = ", ".join(
         JOIN sizes sa ON sa.doc_id = i.new_id
         JOIN sizes sb ON sb.doc_id = i.corpus_id
         WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5
-    """,
+    """
+
+
+@register(
+    "u12_incremental_neardup",
+    bench=True,
+    oracle=INCREMENTAL_NEARDUP_ORACLE,
     doc="INCREMENTAL near-dup: a batch of new arrivals (every 5th doc, "
     "mutated) checked against the EXISTING corpus only — the streaming-"
     "ingest dedup shape. The corpus sketch and band keys are computed "

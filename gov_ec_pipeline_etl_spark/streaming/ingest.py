@@ -1,0 +1,80 @@
+"""Streaming near-duplicate ingest: arrival micro-batches checked
+against a STORED corpus sketch index via foreachBatch.
+
+This is the production deployment shape of the incremental dedup
+operators (u12 / `incremental_neardup_against`): a corpus snapshot is
+sketched ONCE into a stored MinHash index; document arrivals stream in
+and each micro-batch runs one asymmetric band join + exact-Jaccard
+rerank against the read-back index. The corpus is never re-shingled
+and never self-joined — per-batch work is linear in the batch.
+
+Equivalence that makes the stream fully oracle-checkable: every result
+row involves exactly one arrival, and the file-source partitions the
+arrival set across micro-batches, so the union of per-batch results
+equals the one-shot batch result — u12's DuckDB signature-replay
+oracle states the streaming output exactly.
+
+At cluster scale the same loop runs unbounded (Kafka/file source,
+per-trigger batches); `append_to_sketch_index` is the companion write
+path when accepted arrivals should join the corpus snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_streaming_neardup_ingest(
+    spark: SparkSession,
+    corpus: DataFrame,
+    arrivals: DataFrame,
+    n_batches: int = 3,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Stream ``arrivals`` in ``n_batches`` micro-batches against a
+    sketch index built from ``corpus``; returns the appended
+    (new_id, corpus_id, jaccard) result frame."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        build_sketch_index,
+        incremental_neardup_against,
+        read_sketch_index,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"neardup_ingest_{run}")
+    idx, staging, out, ckpt = (
+        f"{base}/idx",
+        f"{base}/arrivals",
+        f"{base}/out",
+        f"{base}/ckpt",
+    )
+    build_sketch_index(corpus, "doc_id", "text", idx, k=k)
+    # one file per micro-batch: maxFilesPerTrigger=1 forces the check to
+    # run as N separate foreachBatch invocations, not one big batch
+    arrivals.repartition(n_batches).write.mode("overwrite").parquet(staging)
+    stored = read_sketch_index(spark, idx)
+
+    def check_batch(batch: DataFrame, _batch_id: int) -> None:
+        out_df = incremental_neardup_against(
+            batch, stored, "doc_id", "text", k=k, threshold=threshold
+        )
+        out_df.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(check_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema("new_id bigint, corpus_id bigint, jaccard double").parquet(
+        out
+    )
