@@ -1774,11 +1774,12 @@ def u29_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = splits.select(
         F.col("id").alias("id_b"), F.col("split").alias("split_b")
     )
+    from gov_ec_pipeline_etl_spark.caching import hold
+
     out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .where(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
-    out._persisted_inputs = getattr(pairs, "_persisted_inputs", [])
-    return out
+    return hold(out, *getattr(pairs, "_persisted_inputs", []))
