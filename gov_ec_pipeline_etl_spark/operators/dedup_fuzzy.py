@@ -21,23 +21,17 @@ from gov_ec_pipeline_etl_spark.caching import hold
 from gov_ec_pipeline_etl_spark.functions.hashing import hash64
 
 
-def shingle_rows(
+def positional_shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """(id, s) rows: the DISTINCT k-word shingles of each document.
+    """(id, s) rows: ALL positional k-word spans of each document, WITH
+    multiplicity — one row per span occurrence (documents shorter than
+    k words contribute their whole normalized text as one span).
 
-    Row formulation of ``word_shingles`` (same sets): tokens explode to
-    rows, shingles assemble via window ``lead`` — everything stays in
-    whole-stage codegen, unlike array higher-order lambdas which Catalyst
-    interprets per element (~15× slower at sf0.1).
-
-    ONE exchange total: documents shorter than k words ride the same
-    explode (a one-element array), and per-document dedup runs as a
-    second window over the SAME id-partitioning (local sort, no
-    reshuffle) instead of a ``distinct()``, whose (id, s) exchange would
-    also destroy the id-partitioning that downstream per-id aggregates
-    (signatures, set sizes) reuse exchange-free.
-    """
+    Tokens explode to rows, spans assemble via window ``lead`` —
+    everything stays in whole-stage codegen, unlike array higher-order
+    lambdas which Catalyst interprets per element (~15× slower at
+    sf0.1). One exchange (the id-partitioned explode)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     base = df.select(
         F.col(id_col).alias("id"),
@@ -55,19 +49,87 @@ def shingle_rows(
     )
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("t", j).over(w) for j in range(1, k)]
-    shingled = toks.select(
+    return toks.select(
         "id",
         F.when(F.col("n") >= k, F.concat_ws(" ", F.col("t"), *leads))
         .otherwise(F.col("t"))
         .alias("s"),
         ((F.col("n") < k) | leads[-1].isNotNull()).alias("keep"),
     ).where("keep")
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, s) rows: the DISTINCT k-word shingles of each document.
+
+    ``positional_shingle_rows`` + per-document dedup. The dedup runs as
+    a second window over the SAME id-partitioning (local sort, no
+    reshuffle) instead of a ``distinct()``, whose (id, s) exchange would
+    also destroy the id-partitioning that downstream per-id aggregates
+    (signatures, set sizes) reuse exchange-free.
+    """
+    shingled = positional_shingle_rows(df, id_col, text_col, k)
     w2 = Window.partitionBy("id").orderBy("s")
     prev = F.lag("s").over(w2)
     return (
         shingled.withColumn("dup", prev.isNotNull() & (prev == F.col("s")))
         .where(~F.col("dup"))
         .select("id", "s")
+    )
+
+
+def duplicated_span_mass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span mass: the fraction of a document's
+    POSITIONAL k-token spans (with multiplicity) whose span text occurs
+    in at least ``min_df`` distinct documents of the corpus.
+
+    This is the span-level duplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") —
+    whole-document Jaccard (d04) misses the common failure mode where
+    distinct pages share large boilerplate runs; a high ``dup_mass``
+    with a low doc-level Jaccard is exactly that case. The reference
+    pipeline has no notion of this (SURVEY §2: the dedup tier stops at
+    whole-row keys); it is part of the LLM-curation surface this engine
+    adds.
+
+    Plan: one scan + id-partitioned explode (positional spans), one
+    (id, span) agg for per-doc multiplicities, one span-keyed agg for
+    document frequency, one hash join back on the span (both sides come
+    out of span-keyed exchanges, so AQE reuses the partitioning), one
+    per-doc agg. All built-in expressions. At 100 TB the span-keyed
+    shuffle dominates; switching the join identity to
+    ``fast_hash64(s)`` shrinks shuffle width to 8-byte keys (the
+    portable string identity is kept default for oracle replay — same
+    dial as ``jaccard_verify``'s ``on``)."""
+    occ = (
+        positional_shingle_rows(df, id_col, text_col, k)
+        .groupBy("id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfreq = occ.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    dup_c = F.when(F.col("df") >= min_df, F.col("c")).otherwise(F.lit(0))
+    return (
+        occ.join(dfreq, "s")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(dup_c).alias("dup_spans"),
+        )
+        .select(
+            "id",
+            "n_spans",
+            "dup_spans",
+            F.round(F.col("dup_spans") / F.col("n_spans"), 6).alias(
+                "dup_mass"
+            ),
+        )
     )
 
 

@@ -50,6 +50,18 @@ def shingles_sql(k: int) -> str:
     """
 
 
+def positional_shingles_sql(k: int) -> str:
+    """``shingles_sql`` without the distinct: ALL positional spans, with
+    multiplicity (mirrors ``positional_shingle_rows``)."""
+    return f"""
+      CASE WHEN len(toks) >= {k}
+        THEN list_transform(range(1, len(toks) - {k} + 2),
+               i -> array_to_string(toks[i:i + {k - 1}], ' '))
+        ELSE [array_to_string(toks, ' ')]
+      END
+    """
+
+
 def _dirty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = docs.select(

@@ -447,23 +447,20 @@ def u23_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_oracle(dim: int = 64, k: int = 8, iters: int = 3) -> str:
-    """Unrolled ``iters``-iteration Lloyd replay: assignment by
-    norm-expanded squared L2 (same sequential-sum shape as the Spark
-    kernel), centroid update as per-dimension AVG reassembled in
-    dimension order. The final SELECT is the last assignment — integer
-    output, so cross-engine float summation-order ulps in the interior
-    centroids cannot surface unless a vector sits exactly on a Voronoi
-    boundary (none do in this corpus; same risk class s05/u06 carry)."""
+def _lloyd_assign_ctes(dim: int = 64, k: int = 8, iters: int = 3) -> list[str]:
+    """CTE parts ``c0, a1, c1, … a{iters}`` unrolling Lloyd k-means over
+    a prior CTE ``vecs(vec_id, v)``: assignment by norm-expanded squared
+    L2 (same sequential-sum shape as the Spark kernel), centroid update
+    as per-dimension AVG reassembled in dimension order. The final
+    assignment CTE is ``a{iters}`` — integer output, so cross-engine
+    float summation-order ulps in the interior centroids cannot surface
+    unless a vector sits exactly on a Voronoi boundary (none do in this
+    corpus; same risk class s05/u06 carry)."""
     sq = (
         "(list_dot_product(x.v, x.v)) + (list_dot_product(c.cv, c.cv))"
         " - 2*(list_dot_product(x.v, c.cv))"
     )
     parts = [
-        """vecs AS (
-          SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
-          FROM embeddings
-        )""",
         f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id < {k})",
     ]
     for i in range(1, iters + 1):
@@ -485,6 +482,18 @@ def _lloyd_oracle(dim: int = 64, k: int = 8, iters: int = 3) -> str:
             GROUP BY a.cent_id, u.d
           ) GROUP BY cent_id
         )""")
+    return parts
+
+
+def _lloyd_oracle(dim: int = 64, k: int = 8, iters: int = 3) -> str:
+    """Full-corpus Lloyd replay over the raw embeddings table."""
+    parts = [
+        """vecs AS (
+          SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+          FROM embeddings
+        )""",
+        *_lloyd_assign_ctes(dim, k, iters),
+    ]
     ctes = ",\n        ".join(parts)
     return f"""
         WITH {ctes}
@@ -511,6 +520,81 @@ def u24_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_ec_pipeline_etl_spark.operators.similarity import kmeans_lloyd
 
     return kmeans_lloyd(T(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
+def _semantic_oracle(
+    dim: int = 64, k: int = 8, iters: int = 2, threshold: float = 0.99
+) -> str:
+    """SemDeDup replay: normalize the planted corpus to the unit sphere,
+    run the unrolled Lloyd chain on the unit vectors, then pair within
+    clusters by exact dot product. Every stage is the same IEEE
+    arithmetic the engine runs (sequential dots, correctly-rounded
+    sqrt/divide), so the pair set is bit-identical cross-engine."""
+    parts = [
+        """corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+          FROM embeddings
+        )""",
+        """raw AS (
+          SELECT vec_id,
+                 list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v0
+          FROM corpus
+        )""",
+        """vecs AS (
+          SELECT vec_id,
+                 list_transform(v0,
+                   x -> x / sqrt(list_dot_product(v0, v0))) AS v
+          FROM raw WHERE list_dot_product(v0, v0) > 0
+        )""",
+        *_lloyd_assign_ctes(dim, k, iters),
+    ]
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT a.cent_id, a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(x.v, y.v), 6) AS cos_r
+        FROM a{iters} a
+        JOIN a{iters} b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        JOIN vecs x ON x.vec_id = a.vec_id
+        JOIN vecs y ON y.vec_id = b.vec_id
+        WHERE list_dot_product(x.v, y.v) >= {threshold}
+    """
+
+
+@register(
+    "u31_semantic_neardup",
+    oracle=_semantic_oracle(),
+    doc="SemDeDup-style semantic near-dup (Abbas et al. 2023): unit-"
+    "normalize, deterministic spherical Lloyd k-means (2 iterations, "
+    "k=8, low-id seeding), cosine >= 0.99 pairs WITHIN clusters only — "
+    "candidate generation bounded by Σ cluster_size² instead of the "
+    "quadratic corpus (at 100 TB, k scales as n/target_cluster_size so "
+    "per-cluster work stays flat). Complements s02's LSH: projection "
+    "buckets vs learned-density clusters. Corpus carries the s02 "
+    "planted scaled copies (scaling preserves the unit vector, so "
+    "every plant pairs with its source at cos ≈ 1). The oracle replays "
+    "normalization + the full Lloyd chain + in-cluster pairing — the "
+    "cluster-boundary recall loss the paper accepts is replayed "
+    "identically, not hidden.",
+    tags=("similarity", "dedup", "kmeans", "llm-pipeline"),
+)
+def u31_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.similarity import (
+        semantic_neardup_pairs,
+    )
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return semantic_neardup_pairs(corpus, k=8, iters=2, threshold=0.99)
 
 
 def _ivfpq_ctes(

@@ -21,6 +21,7 @@ from gov_ec_pipeline_etl_spark.plans.dedup_queries import (
     MUT_OFFSET,
     TOKS_SQL,
     _dirty_docs,
+    positional_shingles_sql,
     shingles_sql,
 )
 from gov_ec_pipeline_etl_spark.plans.registry import register
@@ -1783,3 +1784,92 @@ def u29_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
     return hold(out, *getattr(pairs, "_persisted_inputs", []))
+
+
+# --- span-level duplication + LM quality scoring --------------------------
+
+
+@register(
+    "u30_duplicated_spans",
+    oracle=f"""
+        WITH toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest({positional_shingles_sql(3)}) AS s
+          FROM toksed
+        ),
+        occ AS (
+          SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s
+        ),
+        dfreq AS (SELECT s, COUNT(*) AS df FROM occ GROUP BY s)
+        SELECT o.doc_id AS id,
+               CAST(SUM(o.c) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN d.df >= 2 THEN o.c ELSE 0 END)
+                    AS BIGINT) AS dup_spans,
+               ROUND(CAST(SUM(CASE WHEN d.df >= 2 THEN o.c ELSE 0 END)
+                          AS DOUBLE) / SUM(o.c), 6) AS dup_mass
+        FROM occ o JOIN dfreq d USING (s)
+        GROUP BY o.doc_id
+    """,
+    doc="Per-document duplicated-span mass (Lee et al. 2022's "
+    "substring-level duplication signal): the fraction of each "
+    "document's POSITIONAL 3-token spans occurring in >= 2 documents. "
+    "Catches shared boilerplate runs that whole-document Jaccard (d04) "
+    "dilutes away. Two span-keyed aggregations + one join that reuses "
+    "their partitioning — linear in corpus token count at any scale; "
+    "the span join identity can switch to fast_hash64 for 8-byte "
+    "shuffle keys in engine-local mode.",
+    tags=("llm-pipeline", "dedup", "text", "spans"),
+)
+def u30_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        duplicated_span_mass,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_span_mass(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "u32_bigram_xent",
+    oracle=f"""
+        WITH toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        tok AS (
+          SELECT doc_id, toks[u.i] AS t
+          FROM toksed, UNNEST(range(1, len(toks) + 1)) AS u(i)
+        ),
+        bg AS (
+          SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+          FROM toksed, UNNEST(range(1, len(toks))) AS u(i)
+        ),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        c1 AS (
+          SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+        ),
+        vocab AS (SELECT COUNT(DISTINCT t) AS v FROM tok),
+        scored AS (
+          SELECT b.doc_id,
+                 ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + vocab.v)) AS lp
+          FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
+        )
+        SELECT doc_id AS id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-AVG(lp), 6) AS xent
+        FROM scored GROUP BY doc_id
+    """,
+    doc="Per-document bigram cross-entropy under an add-one-smoothed "
+    "bigram LM fitted on the corpus itself in the same pass — the "
+    "CCNet-style LM quality signal (Wenzek et al. 2020; there a "
+    "pretrained KenLM, here corpus-fitted so the query is "
+    "self-contained): boilerplate-heavy repetitive documents score low "
+    "xent, token-salad scores high. The context-count table c1 is the "
+    "AGGREGATE OF THE AGGREGATE (c2 re-grouped) — the corpus is "
+    "scanned once for bigrams; the count tables are vocab-bounded and "
+    "AQE broadcasts them at this scale while the same plan hash-joins "
+    "when a 100 TB vocab outgrows the threshold.",
+    tags=("llm-pipeline", "text", "quality", "lm"),
+)
+def u32_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.lm import bigram_crossentropy
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_crossentropy(docs, "doc_id", "text")

@@ -1093,3 +1093,84 @@ def test_stratified_split_bucketed_rank_equals_global_window(spark):
     )
     want = {(r["doc_id"], r["source"]): r["split"] for r in naive}
     assert got == want
+
+
+def test_duplicated_span_mass_known_corpus(spark):
+    """Hand-checkable corpus: doc 1 and 2 share an identical 5-token
+    boilerplate prefix; doc 3 shares nothing. Spans are 3-token
+    positional windows."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        duplicated_span_mass,
+    )
+
+    rows = [
+        (1, "terms of service apply here alpha beta gamma"),
+        (2, "terms of service apply here delta epsilon zeta"),
+        (3, "unrelated content entirely distinct tokens everywhere now"),
+        (4, "hi"),  # shorter than k: whole text is its single span
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_spans"], r["dup_spans"], r["dup_mass"])
+        for r in duplicated_span_mass(df, "doc_id", "text", k=3).collect()
+    }
+    # 8 tokens -> 6 positional 3-spans; docs 1/2 share the 3 spans fully
+    # inside "terms of service apply here"
+    assert got[1] == (6, 3, 0.5)
+    assert got[2] == (6, 3, 0.5)
+    assert got[3] == (5, 0, 0.0)  # 7 tokens -> 5 spans, none shared
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_semantic_neardup_finds_planted_scaled_copies(spark):
+    """Each planted scaled copy must pair with its source at cos ~ 1
+    (scaling preserves the unit vector); distinct basis vectors never
+    pair (orthogonal)."""
+    from gov_ec_pipeline_etl_spark.operators.similarity import (
+        semantic_neardup_pairs,
+    )
+
+    dim = 8
+    base = []
+    for i in range(6):
+        v = [0.0] * dim
+        v[i % dim] = float(i + 1)  # axis-aligned, mutually orthogonal-ish
+        base.append((i, v))
+    planted = [(i + 100, [x * 2.5 for x in v]) for i, v in base]
+    df = spark.createDataFrame(
+        base + planted, ["vec_id", "embedding"]
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    pairs = semantic_neardup_pairs(
+        df, k=2, iters=2, threshold=0.99
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert got == {(i, i + 100) for i in range(6)}
+    assert all(p.cos_r >= 0.999999 for p in pairs)
+
+
+def test_bigram_crossentropy_hand_computed(spark):
+    """Two-doc corpus small enough to compute the smoothed model by
+    hand; repetitive doc scores lower xent than the varied one."""
+    import math
+
+    from gov_ec_pipeline_etl_spark.operators.lm import bigram_crossentropy
+
+    rows = [
+        (1, "a a a a"),          # bigrams: (a,a) x3
+        (2, "a b c"),            # bigrams: (a,b), (b,c)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_bigrams"], r["xent"])
+        for r in bigram_crossentropy(df, "doc_id", "text").collect()
+    }
+    # V = 3 (a, b, c); context counts: c1(a)=4, c1(b)=1
+    # c2: (a,a)=3, (a,b)=1, (b,c)=1
+    p_aa = (3 + 1) / (4 + 3)
+    p_ab = (1 + 1) / (4 + 3)
+    p_bc = (1 + 1) / (1 + 3)
+    xent1 = round(-math.log(p_aa), 6)
+    xent2 = round(-(math.log(p_ab) + math.log(p_bc)) / 2, 6)
+    assert got[1] == (3, xent1)
+    assert got[2] == (2, xent2)
+    assert got[1][1] < got[2][1]
