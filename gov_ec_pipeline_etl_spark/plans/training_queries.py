@@ -1873,3 +1873,139 @@ def u32_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     return bigram_crossentropy(docs, "doc_id", "text")
+
+
+@register(
+    "u33_decontaminate_spans",
+    oracle=f"""
+        WITH toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        ev AS (
+          SELECT DISTINCT s FROM (
+            SELECT unnest({shingles_sql(5)}) AS s FROM toksed
+            WHERE doc_id % {EVAL_MOD} = 0
+          )
+        ),
+        tr AS (
+          SELECT doc_id, unnest({positional_shingles_sql(5)}) AS s
+          FROM toksed WHERE doc_id % {EVAL_MOD} <> 0
+        )
+        SELECT t.doc_id AS id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hit_spans,
+               ROUND(CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS hit_mass,
+               CAST(CASE WHEN SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0
+                                  END) * 10 > COUNT(*)
+                    THEN 1 ELSE 0 END AS INT) AS dropped
+        FROM tr t LEFT JOIN ev e USING (s)
+        GROUP BY t.doc_id
+    """,
+    doc="Span-level eval decontamination (the GPT-3/PaLM removal form, "
+    "Brown et al. 2020 App. C): for each training document, the "
+    "fraction of its POSITIONAL 5-token spans colliding with ANY "
+    "eval-set span, and the resulting drop decision (>10% hit mass). "
+    "u01 reports contaminated doc PAIRS for audit; this is the "
+    "per-training-doc actionable mass. The distinct eval span set is "
+    "broadcast (eval sets are small by definition); one left join + "
+    "one per-doc agg — linear in corpus token count at 100 TB.",
+    tags=("llm-pipeline", "dedup", "text", "spans", "audit"),
+)
+def u33_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        positional_shingle_rows,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = (
+        shingle_rows(
+            docs.where(F.col("doc_id") % EVAL_MOD == 0), "doc_id", "text", 5
+        )
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    spans = positional_shingle_rows(
+        docs.where(F.col("doc_id") % EVAL_MOD != 0), "doc_id", "text", 5
+    )
+    hit = F.coalesce(F.col("hit"), F.lit(0))
+    return (
+        spans.join(F.broadcast(ev), "s", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(hit).alias("hit_spans"),
+        )
+        .select(
+            "id",
+            "n_spans",
+            "hit_spans",
+            F.round(F.col("hit_spans") / F.col("n_spans"), 6).alias(
+                "hit_mass"
+            ),
+            (F.col("hit_spans") * 10 > F.col("n_spans"))
+            .cast("int")
+            .alias("dropped"),
+        )
+    )
+
+
+_NTOK_SQL = """CASE WHEN trim(text) = '' THEN 0
+  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"""
+
+
+def _budget_oracle(budget_ppt: int = 600) -> str:
+    from gov_ec_pipeline_etl_spark.operators.sampling import BUDGET_SEED
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", BUDGET_SEED)
+    return f"""
+        WITH base AS (
+          SELECT doc_id AS id, source AS stratum,
+                 CAST({_NTOK_SQL} AS BIGINT) AS toks,
+                 {h} AS h
+          FROM documents
+        ),
+        cum AS (
+          SELECT id, stratum, toks,
+                 CAST(COALESCE(SUM(toks) OVER (
+                   PARTITION BY stratum ORDER BY h, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cum_before,
+                 CAST(SUM(toks) OVER (PARTITION BY stratum) AS BIGINT)
+                   AS total
+          FROM base
+        )
+        SELECT id, stratum, toks, cum_before
+        FROM cum
+        WHERE cum_before * 1000 < total * {budget_ppt}
+    """
+
+
+@register(
+    "u34_token_budget_mix",
+    oracle=_budget_oracle(),
+    doc="Token-budget mixture construction: per source, keep documents "
+    "in deterministic hash-priority order until 60% of the source's "
+    "TOKEN mass is reached (rows are not tokens — a row-fraction "
+    "sample misses a token budget when lengths vary). The engine "
+    "computes the per-source running token sum HIERARCHICALLY "
+    "(hash-prefix buckets + broadcast offsets + within-bucket running "
+    "sum — u28's decomposition applied to SUM), so no source ever "
+    "occupies one window partition at 100 TB; the oracle runs the "
+    "global-window definition, proving the decomposition exact.",
+    tags=("llm-pipeline", "sampling", "mixing"),
+)
+def u34_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.sampling import (
+        token_budget_take,
+    )
+    from gov_ec_pipeline_etl_spark.operators.textstats import token_count
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return token_budget_take(
+        docs, "doc_id", "source", "n_tokens", budget_ppt=600
+    )

@@ -1174,3 +1174,92 @@ def test_bigram_crossentropy_hand_computed(spark):
     assert got[1] == (3, xent1)
     assert got[2] == (2, xent2)
     assert got[1][1] < got[2][1]
+
+
+def test_token_budget_take_matches_global_window(spark):
+    """The hierarchical (bucket-offset + within-bucket running sum)
+    exclusive prefix sum must be bit-identical to the one-window-per-
+    stratum definition the oracle runs, and kept token mass must land
+    just over the budget (greedy take crosses the line by < one doc)."""
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.functions.hashing import hash64
+    from gov_ec_pipeline_etl_spark.operators.sampling import (
+        BUDGET_SEED,
+        token_budget_take,
+    )
+
+    rows = [(i * 3 + 1, f"s{i % 3}", 10 + (i * 7) % 90) for i in range(600)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    got = {
+        r["id"]: (r["stratum"], r["toks"], r["cum_before"])
+        for r in token_budget_take(
+            df, "doc_id", "source", "n_tokens", budget_ppt=600
+        ).collect()
+    }
+    h = hash64(F.col("doc_id").cast("string"), BUDGET_SEED)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = (
+        df.select("doc_id", "source", "n_tokens", h.alias("h"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cb"),
+            F.sum("n_tokens")
+            .over(Window.partitionBy("source"))
+            .alias("total"),
+        )
+        .where(F.col("cb") * 1000 < F.col("total") * 600)
+        .collect()
+    )
+    want = {r["doc_id"]: (r["source"], r["n_tokens"], r["cb"]) for r in naive}
+    assert got == want
+    # kept mass per stratum: >= budget crossed at most by the last doc
+    totals = {f"s{i}": sum(t for _, s, t in rows if s == f"s{i}") for i in range(3)}
+    for s, total in totals.items():
+        kept = sum(t for st, t, _ in got.values() if st == s)
+        assert kept * 1000 >= total * 600  # budget reached
+        assert (kept - 100) * 1000 < total * 600  # by less than max doc
+
+
+def test_decontaminate_spans_flags_planted_overlap(spark):
+    """A training doc embedding a full eval sentence must show the
+    overlap mass; an unrelated doc must show zero."""
+    from gov_ec_pipeline_etl_spark.plans.registry import all_queries  # noqa: F401
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        positional_shingle_rows,
+        shingle_rows,
+    )
+
+    eval_text = "the capital of france is paris and it is large"
+    rows = [
+        (0, eval_text),  # doc_id % 50 == 0 -> eval set
+        (1, "intro words then " + eval_text + " trailing tail here"),
+        (2, "nothing shared with the held out benchmark at all okay"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = (
+        shingle_rows(docs.where(F.col("doc_id") % 50 == 0), "doc_id", "text", 5)
+        .select("s").distinct().withColumn("hit", F.lit(1))
+    )
+    spans = positional_shingle_rows(
+        docs.where(F.col("doc_id") % 50 != 0), "doc_id", "text", 5
+    )
+    got = {
+        r["id"]: (r["n_spans"], r["hit_spans"])
+        for r in spans.join(F.broadcast(ev), "s", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hit_spans"),
+        )
+        .collect()
+    }
+    # doc 1: 16 tokens -> 12 spans; the 6 eval 5-spans all occur inside
+    assert got[1][0] == 12 and got[1][1] == 6
+    assert got[2][1] == 0
