@@ -566,6 +566,7 @@ def _semantic_oracle(
 
 @register(
     "u31_semantic_neardup",
+    bench=True,
     oracle=_semantic_oracle(),
     doc="SemDeDup-style semantic near-dup (Abbas et al. 2023): unit-"
     "normalize, deterministic spherical Lloyd k-means (2 iterations, "

@@ -1791,6 +1791,7 @@ def u29_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "u30_duplicated_spans",
+    bench=True,
     oracle=f"""
         WITH toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
         sh AS (
@@ -2009,3 +2010,174 @@ def u34_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_take(
         docs, "doc_id", "source", "n_tokens", budget_ppt=600
     )
+
+
+def _funnel_oracle() -> str:
+    from gov_ec_pipeline_etl_spark.operators.splits import (
+        stratified_split_sql,
+    )
+    from gov_ec_pipeline_etl_spark.plans.dedup_queries import (
+        _minhash_oracle,
+    )
+
+    eval_cond = f"(doc_id % {EVAL_MOD} = 0 AND doc_id < {MUT_OFFSET})"
+    split_sql = stratified_split_sql(
+        "SELECT doc_id, source FROM pre WHERE disp IS NULL",
+        "doc_id",
+        "source",
+    )
+    return f"""
+        WITH dirtyf AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + {MUT_OFFSET} AS doc_id,
+                 text || ' zz0 zz1 zz2' AS text, source
+          FROM documents
+        ),
+        pairs AS ({_minhash_oracle()}),
+        nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+        toksed2 AS (SELECT doc_id, {TOKS_SQL} AS toks FROM dirtyf),
+        ev AS (
+          SELECT DISTINCT s FROM (
+            SELECT unnest({shingles_sql(5)}) AS s FROM toksed2
+            WHERE {eval_cond}
+          )
+        ),
+        tr AS (
+          SELECT doc_id, unnest({positional_shingles_sql(5)}) AS s
+          FROM toksed2 WHERE NOT {eval_cond}
+        ),
+        cont AS (
+          SELECT t.doc_id FROM tr t LEFT JOIN ev e USING (s)
+          GROUP BY t.doc_id
+          HAVING SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) * 10
+                 > COUNT(*)
+        ),
+        fps AS (
+          SELECT doc_id, source, text,
+                 MIN(doc_id) OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'))
+                 ) AS min_id
+          FROM dirtyf
+        ),
+        pre AS (
+          SELECT f.doc_id, f.source,
+                 CASE WHEN {eval_cond.replace("doc_id", "f.doc_id")}
+                        THEN 'eval'
+                      WHEN ({_NTOK_SQL.replace("text", "f.text")}) < 5
+                        THEN 'short'
+                      WHEN f.doc_id <> f.min_id THEN 'exact_dup'
+                      WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                      WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                      ELSE NULL END AS disp
+          FROM fps f
+          LEFT JOIN nd n ON n.doc_id = f.doc_id
+          LEFT JOIN cont c ON c.doc_id = f.doc_id
+        ),
+        splits AS ({split_sql})
+        SELECT p.doc_id AS id, p.source,
+               COALESCE(p.disp, s.split) AS disposition
+        FROM pre p LEFT JOIN splits s ON s.id = p.doc_id
+    """
+
+
+@register(
+    "u35_curation_funnel",
+    oracle=_funnel_oracle(),
+    doc="The whole curation pass as ONE declarative plan — per document "
+    "its final disposition: eval carve-out, length gate (<5 tokens), "
+    "exact dedup (keep-lowest-id per content fingerprint), near-dup "
+    "drop (d02's MinHash+LSH pairs, higher id dropped — greedy "
+    "keep-lowest, applied corpus-wide), span decontamination (u33's "
+    ">10% eval 5-gram mass), then u28's deterministic stratified split "
+    "over the SURVIVORS. Every stage is an already-oracled operator; "
+    "the composition is what a user runs nightly before training. One "
+    "pass over the corpus per signal, all joins on doc_id after "
+    "candidate generation — no stage adds a quadratic surface beyond "
+    "the LSH-bounded pair set.",
+    tags=("llm-pipeline", "dedup", "split", "audit", "funnel"),
+)
+def u35_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.caching import hold
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        minhash_lsh_pairs,
+        positional_shingle_rows,
+    )
+    from gov_ec_pipeline_etl_spark.operators.splits import stratified_split
+    from gov_ec_pipeline_etl_spark.operators.textstats import (
+        content_fingerprint,
+        token_count,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dirty = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+            F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"),
+            "source",
+        )
+    )
+    is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (
+        F.col("doc_id") < MUT_OFFSET
+    )
+    pairs = minhash_lsh_pairs(
+        dirty.select("doc_id", "text"), "doc_id", "text",
+        k=3, num_hashes=12, bands=4, jaccard_threshold=0.5,
+    )
+    nd = pairs.select(F.col("id_b").alias("doc_id")).distinct().withColumn(
+        "neardup", F.lit(1)
+    )
+    ev = (
+        shingle_rows(dirty.where(is_eval), "doc_id", "text", 5)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cont = (
+        positional_shingle_rows(dirty.where(~is_eval), "doc_id", "text", 5)
+        .join(F.broadcast(ev), "s", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hit_spans"),
+        )
+        .where(F.col("hit_spans") * 10 > F.col("n_spans"))
+        .select(F.col("id").alias("doc_id"), F.lit(1).alias("contaminated"))
+    )
+    # fingerprint groups are duplicate-text sets — tiny partitions, no
+    # skew risk for the min-over-group window
+    min_id = F.min("doc_id").over(
+        Window.partitionBy(content_fingerprint("text"))
+    )
+    pre = (
+        dirty.withColumn("min_id", min_id)
+        .withColumn("ntok", token_count("text"))
+        .join(nd, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(is_eval, "eval")
+            .when(F.col("ntok") < 5, "short")
+            .when(F.col("doc_id") != F.col("min_id"), "exact_dup")
+            .when(F.col("neardup") == 1, "near_dup")
+            .when(F.col("contaminated") == 1, "contaminated")
+            .alias("disp"),
+        )
+    )
+    survivors = pre.where(F.col("disp").isNull()).select("doc_id", "source")
+    splits = stratified_split(survivors, "doc_id", "source").select(
+        F.col("id").alias("doc_id"), F.col("split")
+    )
+    out = (
+        pre.join(splits, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("id"),
+            "source",
+            F.coalesce("disp", "split").alias("disposition"),
+        )
+    )
+    return hold(out, *getattr(pairs, "_persisted_inputs", []))

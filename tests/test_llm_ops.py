@@ -1263,3 +1263,46 @@ def test_decontaminate_spans_flags_planted_overlap(spark):
     # doc 1: 16 tokens -> 12 spans; the 6 eval 5-spans all occur inside
     assert got[1][0] == 12 and got[1][1] == 6
     assert got[2][1] == 0
+
+
+def test_curation_funnel_stage_precedence(spark, tmp_path, monkeypatch):
+    """Constructed corpus hitting every funnel stage, checked on the
+    registered query itself via a toy documents table: eval carve-out
+    beats dedup, exact dup keeps the lowest id, near-dup drops the
+    higher id, survivors get exact-proportion splits."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from gov_ec_pipeline_etl_spark.plans.training_queries import (
+        u35_curation_funnel,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base + " lambda", "s0"),              # eval (0 % 50 == 0)
+        (1, base + " lambda", "s0"),              # exact dup of 0? no: 0 is eval but fingerprint min is 0 -> 1 is exact_dup
+        (2, "tiny", "s0"),                        # short (<5 tokens)
+        (3, base + " mu nu xi", "s1"),            # near-dups with 4
+        (4, base + " mu nu xi omicron", "s1"),    # higher id -> near_dup
+    ] + [
+        (5 + i, f"unique document number {i} with words w{i} x{i} y{i} z{i} q{i}", "s1")
+        for i in range(10)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    out = {r["id"]: r["disposition"] for r in u35_curation_funnel(spark, sf_dir).collect()}
+    n = len(rows)
+    assert out[0] == "eval"
+    assert out[2] == "short"
+    assert out[1] == "exact_dup"  # fp identical to eval doc 0 -> min_id=0
+    assert out[4] == "near_dup"
+    assert out[1000003] == "near_dup"  # mutated copy of 3 pairs with 3
+    # survivors (3 + uniques + their mutated copies minus near-dups) all split
+    assert all(
+        v in ("train", "val", "test", "eval", "short", "exact_dup", "near_dup", "contaminated")
+        for v in out.values()
+    )
+    assert len(out) == 2 * n
