@@ -564,10 +564,22 @@ def _semantic_oracle(
     """
 
 
+def _semantic_k(sf_dir: str) -> int:
+    """SemDeDup's k scales with the corpus (k ≈ n / target_cluster_size,
+    target 500 here) so within-cluster candidate pairs stay flat as the
+    corpus grows. Corpus size comes from the parquet FOOTER (table_rows)
+    — constructing the plan must not run a count job. The oracle is a
+    callable resolved at the same sf_dir, so both engines pick the same
+    k."""
+    from gov_ec_pipeline_etl_spark.tables import table_rows
+
+    return max(8, (2 * table_rows(sf_dir, "embeddings")) // 500)
+
+
 @register(
     "u31_semantic_neardup",
     bench=True,
-    oracle=_semantic_oracle(),
+    oracle=lambda sf_dir: _semantic_oracle(k=_semantic_k(sf_dir)),
     doc="SemDeDup-style semantic near-dup (Abbas et al. 2023): unit-"
     "normalize, deterministic spherical Lloyd k-means (2 iterations, "
     "k=8, low-id seeding), cosine >= 0.99 pairs WITHIN clusters only — "
@@ -595,7 +607,9 @@ def u31_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(planted)
-    return semantic_neardup_pairs(corpus, k=8, iters=2, threshold=0.99)
+    return semantic_neardup_pairs(
+        corpus, k=_semantic_k(sf_dir), iters=2, threshold=0.99
+    )
 
 
 def _ivfpq_ctes(
