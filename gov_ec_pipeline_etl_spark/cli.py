@@ -230,6 +230,14 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--files-per-partition", type=int, default=1)
     pi.add_argument("--limit", type=int, default=20, help="rows printed (probe/pairs)")
 
+    pc = sub.add_parser(
+        "curate",
+        help="run the full curation funnel over a corpus dir, write "
+        "per-document dispositions + print a JSON summary",
+    )
+    pc.add_argument("sf_dir", help="directory holding documents.parquet")
+    pc.add_argument("out", help="output parquet path (id, source, disposition)")
+
     # reference get_status {object|compose}: pull any object over HTTP
     # with the retrying session and an atomic tmp-write (get_status.py:
     # 39-60 — download_object + tmp + rename)
@@ -320,6 +328,42 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "index":
         return _index_cmd(args)
+
+    if args.cmd == "curate":
+        from gov_ec_pipeline_etl_spark.caching import unpersist_inputs
+        from gov_ec_pipeline_etl_spark.plans.training_queries import (
+            u35_curation_funnel,
+        )
+        from gov_ec_pipeline_etl_spark.session import get_spark
+
+        spark = get_spark("gov-ec-pipeline-etl-curate")
+        out_df = u35_curation_funnel(spark, args.sf_dir)
+        out_df.write.mode("overwrite").parquet(args.out)
+        unpersist_inputs(out_df)
+        counts = {
+            r["disposition"]: r["count"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("disposition")
+            .count()
+            .collect()
+        }
+        total = sum(counts.values())
+        kept = sum(
+            v for k, v in counts.items() if k in ("train", "val", "test")
+        )
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "total": total,
+                    "kept": kept,
+                    "dispositions": counts,
+                },
+                indent=2,
+                sort_keys=True,
+            )
+        )
+        return 0
 
     if args.cmd == "oracle":
         from gov_ec_pipeline_etl_spark.oracle import run_all

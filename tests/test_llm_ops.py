@@ -1306,3 +1306,37 @@ def test_curation_funnel_stage_precedence(spark, tmp_path, monkeypatch):
         for v in out.values()
     )
     assert len(out) == 2 * n
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    """`cli curate SF_DIR OUT` writes the disposition parquet and prints
+    a summary whose counts reconcile with the table."""
+    import json as _json
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from gov_ec_pipeline_etl_spark.cli import main as cli_main
+
+    rows = [
+        (i, f"document number {i} has tokens t{i} u{i} v{i} w{i} x{i}", f"s{i % 2}")
+        for i in range(12)
+    ]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    out = str(tmp_path / "dispositions")
+    assert cli_main(["curate", sf_dir, out]) == 0
+    summary = _json.loads(capsys.readouterr().out)
+    table = spark.read.parquet(out)
+    assert summary["total"] == table.count() == 24  # corpus + mutated
+    got = {
+        r["disposition"]: r["count"]
+        for r in table.groupBy("disposition").count().collect()
+    }
+    assert got == summary["dispositions"]
+    assert summary["kept"] == sum(
+        v for k, v in got.items() if k in ("train", "val", "test")
+    )
