@@ -1,0 +1,354 @@
+"""Published-method quality/data-selection queries (u36–u40).
+
+Gopher repetition rules, DSIR importance weights, a one-pass Naive
+Bayes quality classifier, tokenizer fertility, and cluster-balanced
+diversity sampling — the data-selection layer a pretraining pipeline
+runs on top of the dedup tier (u30–u35). Every query carries a full
+DuckDB oracle replaying the same arithmetic (rounded floats, portable
+md5 hashes, unrolled Lloyd chain), so "train + apply" model queries are
+hash-gated like the relational ones.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64_sql
+from gov_ec_pipeline_etl_spark.operators.quality import (
+    GOPHER_DUP5_THRESHOLD,
+    GOPHER_TOP_THRESHOLDS,
+)
+from gov_ec_pipeline_etl_spark.plans.dedup_queries import NORM_SQL, TOKS_SQL
+from gov_ec_pipeline_etl_spark.plans.registry import register
+from gov_ec_pipeline_etl_spark.plans.util import T
+
+DSIR_BUCKETS = 512
+DSIR_TARGET_SOURCE = "src0"
+
+
+def _pos_grams_sql(n: int) -> str:
+    """ALL positional n-grams (with multiplicity) over a prior ``toks``
+    list column; empty when the document has fewer than n tokens
+    (``range`` is empty) — mirrors the operator's lead-window stream."""
+    return (
+        f"list_transform(range(1, len(toks) - {n} + 2), "
+        f"i -> array_to_string(toks[i:i + {n - 1}], ' '))"
+    )
+
+
+def _gopher_oracle() -> str:
+    gram_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, nc, {n} AS n, unnest({_pos_grams_sql(n)}) AS s "
+        "FROM toksed"
+        for n in (2, 3, 4, 5)
+    )
+    t = GOPHER_TOP_THRESHOLDS
+    return f"""
+        WITH toksed AS (
+          SELECT doc_id, len({NORM_SQL}) AS nc, {TOKS_SQL} AS toks
+          FROM documents
+        ),
+        grams AS (
+          {gram_selects}
+        ),
+        occ AS (
+          SELECT doc_id, nc, n, s, COUNT(*) AS c
+          FROM grams GROUP BY doc_id, nc, n, s
+        ),
+        per_n AS (
+          SELECT doc_id, nc, n,
+                 MAX(c * len(s)) AS top_mass,
+                 SUM(CASE WHEN c >= 2 THEN c * len(s) ELSE 0 END) AS dup_mass
+          FROM occ GROUP BY doc_id, nc, n
+        ),
+        fr AS (
+          SELECT doc_id,
+            COALESCE(MAX(CASE WHEN n = 2
+              THEN ROUND(top_mass / nc, 6) END), 0.0) AS top2_frac,
+            COALESCE(MAX(CASE WHEN n = 3
+              THEN ROUND(top_mass / nc, 6) END), 0.0) AS top3_frac,
+            COALESCE(MAX(CASE WHEN n = 4
+              THEN ROUND(top_mass / nc, 6) END), 0.0) AS top4_frac,
+            COALESCE(MAX(CASE WHEN n = 5
+              THEN ROUND(dup_mass / nc, 6) END), 0.0) AS dup5_frac
+          FROM per_n GROUP BY doc_id
+        )
+        SELECT doc_id AS id, top2_frac, top3_frac, top4_frac, dup5_frac,
+               CAST(CASE WHEN top2_frac > {t[2]} OR top3_frac > {t[3]}
+                         OR top4_frac > {t[4]}
+                         OR dup5_frac > {GOPHER_DUP5_THRESHOLD}
+                    THEN 1 ELSE 0 END AS INT) AS flagged
+        FROM fr
+    """
+
+
+@register(
+    "u36_gopher_repetition",
+    oracle=_gopher_oracle(),
+    doc="Gopher repetition rules (Rae et al. 2021, Table A1): per-doc "
+    "character-mass fraction of the most frequent 2/3/4-gram and of "
+    "within-document duplicate 5-grams, with the paper's thresholds "
+    "(0.20/0.18/0.16/0.15) as the drop flag. Purely per-document — no "
+    "cross-doc state — so the operator is one token-explode window "
+    "exchange and then id-prefixed aggregates that reuse its "
+    "partitioning: exactly ONE shuffle at any corpus size.",
+    tags=("llm-pipeline", "text", "quality", "repetition"),
+)
+def u36_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.quality import gopher_repetition
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_repetition(docs, "doc_id", "text")
+
+
+@register(
+    "u37_dsir_weights",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, source = '{DSIR_TARGET_SOURCE}' AS is_t,
+                 unnest({TOKS_SQL}) AS t
+          FROM documents
+        ),
+        hb AS (
+          SELECT doc_id, is_t,
+                 {portable_hash64_sql("t")} % {DSIR_BUCKETS} AS b
+          FROM toks
+        ),
+        bt AS (
+          SELECT b,
+                 SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tb,
+                 SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS rb
+          FROM hb GROUP BY b
+        ),
+        tot AS (SELECT SUM(tb) AS tt, SUM(rb) AS rt FROM bt),
+        db AS (
+          SELECT doc_id, b, COUNT(*) AS m FROM hb GROUP BY doc_id, b
+        ),
+        sc AS (
+          SELECT doc_id,
+                 CAST(SUM(m) AS BIGINT) AS n_toks,
+                 ROUND(SUM(m * (ln((tb + 1) / (tt + {DSIR_BUCKETS}))
+                              - ln((rb + 1) / (rt + {DSIR_BUCKETS})))),
+                       6) AS log_ratio
+          FROM db JOIN bt USING (b), tot
+          GROUP BY doc_id
+        )
+        SELECT doc_id AS id, n_toks, log_ratio,
+               CAST(CASE WHEN log_ratio > 0 THEN 1 ELSE 0 END AS INT)
+                 AS selected
+        FROM sc
+    """,
+    doc="DSIR hashed-n-gram importance weights (Xie et al. 2023): "
+    "score each document by the log-likelihood ratio of its hashed "
+    "unigram bag under the target-domain bucket distribution "
+    f"(source = {DSIR_TARGET_SOURCE!r} as the target sample) vs the "
+    "raw corpus, add-one smoothed over 512 buckets; positive weight = "
+    "resample toward target. The 512-row bucket table is fixed-width "
+    "BY CONSTRUCTION — DSIR's point — so the model broadcasts at any "
+    "corpus size and scoring is one broadcast join + one per-doc sum.",
+    tags=("llm-pipeline", "text", "quality", "selection"),
+)
+def u37_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.quality import dsir_logweights
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return dsir_logweights(
+        docs,
+        "doc_id",
+        "text",
+        target=F.col("source") == DSIR_TARGET_SOURCE,
+        buckets=DSIR_BUCKETS,
+    )
+
+
+@register(
+    "u38_nb_classifier",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, source AS label, unnest({TOKS_SQL}) AS t
+          FROM documents
+        ),
+        cond AS (
+          SELECT t, label, COUNT(*) AS ctc FROM toks GROUP BY t, label
+        ),
+        cls AS (
+          SELECT label, CAST(SUM(ctc) AS BIGINT) AS tot
+          FROM cond GROUP BY label
+        ),
+        docs AS (SELECT doc_id AS id, source AS label FROM documents),
+        pri AS (SELECT label, COUNT(*) AS nd FROM docs GROUP BY label),
+        nn AS (SELECT COUNT(*) AS n FROM docs),
+        voc AS (SELECT COUNT(DISTINCT t) AS v FROM cond),
+        dt AS (
+          SELECT doc_id AS id, t, COUNT(*) AS m FROM toks
+          GROUP BY doc_id, t
+        ),
+        pairs AS (
+          SELECT dt.id, c.label AS cls,
+                 dt.m * ln((COALESCE(k.ctc, 0) + 1) / (c.tot + voc.v))
+                   AS term
+          FROM dt CROSS JOIN cls c
+          LEFT JOIN cond k ON k.t = dt.t AND k.label = c.label, voc
+        ),
+        scores AS (
+          SELECT p.id, p.cls,
+                 ROUND(SUM(p.term) + ln(pri.nd / nn.n), 6) AS score
+          FROM pairs p JOIN pri ON pri.label = p.cls, nn
+          GROUP BY p.id, p.cls, pri.nd, nn.n
+        ),
+        pred AS (
+          SELECT id, cls AS predicted FROM (
+            SELECT id, cls,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY id ORDER BY score DESC, cls ASC
+                   ) AS rn
+            FROM scores
+          ) WHERE rn = 1
+        )
+        SELECT d.label, p.predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM docs d JOIN pred p ON p.id = d.id
+        GROUP BY d.label, p.predicted
+    """,
+    doc="One-pass multinomial Naive Bayes trained on the corpus' own "
+    "source labels and applied back (resubstitution confusion matrix) "
+    "— the closed-form stand-in for the fastText quality classifiers "
+    "of GPT-3/CCNet (Brown et al. 2020 App. A): 'train + apply a "
+    "classifier' as a single declarative plan. The model (token×class "
+    "counts, totals, priors, vocab) is ONE aggregation pass; scoring "
+    "is doc-token rows × |classes| with the class table broadcast; "
+    "the argmax is a per-doc window over |classes| rows. Scores round "
+    "to 6 decimals before the argmax, ties break toward the smaller "
+    "class name — cross-engine deterministic.",
+    tags=("llm-pipeline", "text", "quality", "classifier"),
+)
+def u38_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.quality import nb_source_confusion
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return nb_source_confusion(docs, "doc_id", "text", "source")
+
+
+@register(
+    "u39_token_fertility",
+    oracle="""
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+                 AS bpe_tokens,
+               ROUND(SUM(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))
+                 / SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END), 6) AS fertility,
+               ROUND(SUM(n_chars)
+                 / SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END), 6) AS chars_per_token
+        FROM documents
+        GROUP BY lang, source
+    """,
+    doc="Tokenizer fertility by (lang, source): BPE-ish subword tokens "
+    "per whitespace token and chars per whitespace token — the "
+    "standard multilingual tokenizer-cost audit (fertility >> 1 marks "
+    "languages/sources the tokenizer fragments, i.e. more compute per "
+    "word). Single aggregation pass, t01's token definitions reused "
+    "verbatim on both engines.",
+    tags=("llm-pipeline", "text", "tokenizer"),
+)
+def u39_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    ws = F.sum(token_count("text").cast("bigint"))
+    bpe = F.sum(bpe_ish_token_count("text").cast("bigint"))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe / ws, 6).alias("fertility"),
+        F.round(F.sum("n_chars") / ws, 6).alias("chars_per_token"),
+    )
+
+
+def _sample_k() -> int:
+    return 8
+
+
+def _sample_cap(sf_dir: str) -> int:
+    """Per-cluster keep cap = ceil(n / 2k): the kept set targets half
+    the corpus with a flattened cluster histogram. Footer row count —
+    constructing the plan must not run a count job."""
+    from gov_ec_pipeline_etl_spark.tables import table_rows
+
+    n = table_rows(sf_dir, "embeddings")
+    k = _sample_k()
+    return max(1, -(-n // (2 * k)))
+
+
+def _cluster_sample_oracle(sf_dir: str) -> str:
+    from gov_ec_pipeline_etl_spark.plans.similarity_queries import (
+        _lloyd_assign_ctes,
+    )
+
+    cap = _sample_cap(sf_dir)
+    parts = [
+        """vecs AS (
+          SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+          FROM embeddings
+        )""",
+        *_lloyd_assign_ctes(dim=64, k=_sample_k(), iters=3),
+    ]
+    ctes = ",\n        ".join(parts)
+    hash_sql = portable_hash64_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+        WITH {ctes},
+        sz AS (
+          SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM a3 GROUP BY cent_id
+        ),
+        r AS (
+          SELECT vec_id, cent_id,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cent_id ORDER BY {hash_sql}, vec_id
+                 ) AS INT) AS rnk
+          FROM a3
+        )
+        SELECT r.vec_id AS id, r.cent_id, sz.cluster_size, r.rnk,
+               CAST(CASE WHEN r.rnk <= {cap} THEN 1 ELSE 0 END AS INT)
+                 AS kept
+        FROM r JOIN sz USING (cent_id)
+    """
+
+
+@register(
+    "u40_cluster_sample",
+    oracle=_cluster_sample_oracle,
+    doc="Cluster-balanced diversity sampling (the D4 shape, Tirumala "
+    "et al. 2023: cluster the embedding space, then flatten the kept "
+    "set's cluster histogram): u24's deterministic 3-iteration Lloyd "
+    "assignment, then per-cluster rank by portable hash with a keep "
+    "cap of ceil(n/2k) — big clusters downsample, small ones survive "
+    "whole, no RNG state. The rank window partitions by cluster, so "
+    "the sampling distributes with the clustering; the oracle replays "
+    "the full unrolled Lloyd chain plus the same hash rank.",
+    tags=("llm-pipeline", "similarity", "kmeans", "selection"),
+)
+def u40_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.quality import (
+        cluster_balanced_sample,
+    )
+    from gov_ec_pipeline_etl_spark.operators.similarity import kmeans_lloyd
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = kmeans_lloyd(emb, k=_sample_k(), iters=3).select(
+        "vec_id", "cent_id"
+    )
+    return cluster_balanced_sample(assigned, cap=_sample_cap(sf_dir))

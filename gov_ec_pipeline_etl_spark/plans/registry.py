@@ -66,6 +66,7 @@ _QUERY_MODULES = [
     "gov_ec_pipeline_etl_spark.plans.streaming_queries",
     "gov_ec_pipeline_etl_spark.plans.multimodal_queries",
     "gov_ec_pipeline_etl_spark.plans.training_queries",
+    "gov_ec_pipeline_etl_spark.plans.quality_queries",
 ]
 
 
