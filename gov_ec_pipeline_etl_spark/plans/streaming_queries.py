@@ -180,3 +180,30 @@ def v02_streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"),
     )
     return run_streaming_neardup_ingest(spark, docs, arrivals, n_batches=3)
+
+
+from gov_ec_pipeline_etl_spark.plans.quality_queries import (
+    _gopher_oracle as _V03_ORACLE,
+)
+
+
+@register(
+    "v03_streaming_quality_gate",
+    oracle=_V03_ORACLE(),
+    doc="Streaming ingest-time quality gate: documents arrive in 3 "
+    "micro-batches (file source, maxFilesPerTrigger=1) and each "
+    "foreachBatch scores its batch with the Gopher repetition rules "
+    "(u36's operator) before the documents would enter the corpus — "
+    "the deployment where filtering happens on arrival, not in a "
+    "nightly sweep. The signal is purely per-document, so the streamed "
+    "union equals the one-shot batch result and u36's full DuckDB "
+    "oracle hash-checks the stream end to end.",
+    tags=("streaming", "quality", "repetition", "llm-pipeline"),
+)
+def v03_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.streaming.ingest import (
+        run_streaming_quality_gate,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return run_streaming_quality_gate(spark, docs, n_batches=3)

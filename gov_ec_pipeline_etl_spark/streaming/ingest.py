@@ -78,3 +78,45 @@ def run_streaming_neardup_ingest(
     return spark.read.schema("new_id bigint, corpus_id bigint, jaccard double").parquet(
         out
     )
+
+
+def run_streaming_quality_gate(
+    spark: SparkSession, docs: DataFrame, n_batches: int = 3
+) -> DataFrame:
+    """Stream ``docs`` in ``n_batches`` micro-batches through the Gopher
+    repetition gate (``operators.quality.gopher_repetition``); each
+    foreachBatch scores its batch and appends the per-document quality
+    row. The signal is purely per-document — no cross-doc state — so
+    the streamed union equals the one-shot batch result exactly, and
+    u36's full DuckDB oracle hash-checks the stream end to end.
+
+    This is the ingest-time deployment: score-and-flag documents as
+    they arrive, BEFORE they enter the corpus, instead of a nightly
+    batch sweep. At cluster scale the same loop runs unbounded on a
+    Kafka/file source."""
+    from gov_ec_pipeline_etl_spark.operators.quality import gopher_repetition
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"quality_gate_{run}")
+    staging, out, ckpt = f"{base}/docs", f"{base}/out", f"{base}/ckpt"
+    docs.repartition(n_batches).write.mode("overwrite").parquet(staging)
+
+    def score_batch(batch: DataFrame, _batch_id: int) -> None:
+        gopher_repetition(batch, "doc_id", "text").write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "id bigint, top2_frac double, top3_frac double, top4_frac double, "
+        "dup5_frac double, flagged int"
+    ).parquet(out)
