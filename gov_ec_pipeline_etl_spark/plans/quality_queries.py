@@ -85,6 +85,7 @@ def _gopher_oracle() -> str:
 
 @register(
     "u36_gopher_repetition",
+    bench=True,
     oracle=_gopher_oracle(),
     doc="Gopher repetition rules (Rae et al. 2021, Table A1): per-doc "
     "character-mass fraction of the most frequent 2/3/4-gram and of "
