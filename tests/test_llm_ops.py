@@ -1340,3 +1340,94 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert summary["kept"] == sum(
         v for k, v in got.items() if k in ("train", "val", "test")
     )
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Hand-computed Gopher fractions on a 4-token degenerate doc and a
+    fully-distinct doc; a 1-token doc has no n-grams and is absent."""
+    from gov_ec_pipeline_etl_spark.operators.quality import gopher_repetition
+
+    rows = [
+        (1, "a a a a"),
+        (2, "x y z w v u"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r.asDict() for r in gopher_repetition(df, "doc_id", "text").collect()}
+    # doc 1: norm "a a a a" (nc=7). "a a" x3 -> 3*3/7; "a a a" x2 -> 2*5/7;
+    # "a a a a" x1 -> 7/7; no 5-grams (4 tokens) -> dup5 0.
+    assert got[1]["top2_frac"] == round(9 / 7, 6)
+    assert got[1]["top3_frac"] == round(10 / 7, 6)
+    assert got[1]["top4_frac"] == 1.0
+    assert got[1]["dup5_frac"] == 0.0
+    assert got[1]["flagged"] == 1
+    # doc 2: nc=11, every n-gram unique: top2 3/11, top3 5/11, top4 7/11,
+    # 5-grams occur once each -> dup5 0. Short docs inflate the top-n
+    # fractions (the known Gopher caveat) -> flagged here.
+    assert got[2]["top2_frac"] == round(3 / 11, 6)
+    assert got[2]["top3_frac"] == round(5 / 11, 6)
+    assert got[2]["top4_frac"] == round(7 / 11, 6)
+    assert got[2]["dup5_frac"] == 0.0
+    assert got[2]["flagged"] == 1
+    assert 3 not in got
+
+
+def test_dsir_weights_sign_tracks_target_vocab(spark):
+    """Docs written in the target sample's vocabulary get positive
+    log-ratios (resample toward target); raw-vocabulary docs negative."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.operators.quality import dsir_logweights
+
+    rows = (
+        [(i, "aa bb aa bb", "t") for i in range(10)]
+        + [(100 + i, "cc dd cc dd", "r") for i in range(10)]
+        + [(200, "aa bb aa bb aa", "r"), (201, "cc dd cc", "t")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = dsir_logweights(
+        df, "doc_id", "text", target=F.col("source") == "t"
+    )
+    got = {r["id"]: (r["log_ratio"], r["selected"]) for r in out.collect()}
+    assert got[200][0] > 0 and got[200][1] == 1  # target-vocab doc
+    assert got[201][0] < 0 and got[201][1] == 0  # raw-vocab doc
+    assert all(got[i][1] == 1 for i in range(10))
+    assert all(got[100 + i][1] == 0 for i in range(10))
+
+
+def test_nb_classifier_separates_disjoint_vocab(spark):
+    """Classes with disjoint vocabularies classify perfectly: the
+    confusion matrix is diagonal."""
+    from gov_ec_pipeline_etl_spark.operators.quality import nb_source_confusion
+
+    rows = [(i, "apple banana cherry apple", "fruit") for i in range(8)] + [
+        (100 + i, "iron copper zinc iron", "metal") for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r["label"], r["predicted"]): r["n_docs"]
+        for r in nb_source_confusion(df, "doc_id", "text", "source").collect()
+    }
+    assert got == {("fruit", "fruit"): 8, ("metal", "metal"): 8}
+
+
+def test_cluster_balanced_sample_caps_large_clusters(spark):
+    """Cap 3: a 5-member cluster keeps exactly 3 (lowest hash ranks), a
+    2-member cluster survives whole; ranks are 1..size per cluster."""
+    from gov_ec_pipeline_etl_spark.operators.quality import (
+        cluster_balanced_sample,
+    )
+
+    rows = [(i, 0) for i in range(5)] + [(10, 1), (11, 1)]
+    df = spark.createDataFrame(rows, ["vec_id", "cent_id"])
+    out = cluster_balanced_sample(df, cap=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cent_id"], []).append(r)
+    assert sorted(r["rnk"] for r in by_cluster[0]) == [1, 2, 3, 4, 5]
+    assert sum(r["kept"] for r in by_cluster[0]) == 3
+    assert all(r["cluster_size"] == 5 for r in by_cluster[0])
+    assert sorted(r["rnk"] for r in by_cluster[1]) == [1, 2]
+    assert sum(r["kept"] for r in by_cluster[1]) == 2
+    # kept iff rnk <= cap, per row
+    assert all((r["rnk"] <= 3) == bool(r["kept"]) for r in out)
