@@ -353,3 +353,177 @@ def u40_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cent_id"
     )
     return cluster_balanced_sample(assigned, cap=_sample_cap(sf_dir))
+
+
+def _bpe_oracle(steps: int = 4) -> str:
+    """Unrolled BPE replay: vocab CTE, then per step a pair-count CTE, an
+    argmax CTE, and a substituted-vocab CTE — the same left-to-right
+    non-overlapping ``replace`` over the same parenthesis encoding."""
+    parts = [
+        f"""w0 AS (
+          SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS ws, COUNT(*) AS cnt
+          FROM (SELECT unnest({TOKS_SQL}) AS w FROM documents)
+          WHERE regexp_matches(w, '^[a-z0-9]+$')
+          GROUP BY 1
+        )"""
+    ]
+    for i in range(1, steps + 1):
+        parts.append(f"""p{i} AS (
+          SELECT syms[i] AS merge_left, syms[i + 1] AS merge_right,
+                 SUM(cnt) AS pair_count
+          FROM (SELECT cnt, regexp_extract_all(ws, '\\(([^()]+)\\)', 1)
+                       AS syms
+                FROM w{i - 1}),
+               UNNEST(range(1, len(syms))) AS u(i)
+          GROUP BY 1, 2
+        )""")
+        parts.append(f"""b{i} AS (
+          SELECT * FROM p{i}
+          ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
+        )""")
+        if i < steps:
+            parts.append(f"""w{i} AS (
+          SELECT replace(ws, '(' || b.merge_left || ')(' || b.merge_right
+                             || ')',
+                         '(' || b.merge_left || b.merge_right || ')') AS ws,
+                 cnt
+          FROM w{i - 1}, b{i} b
+        )""")
+    ctes = ",\n        ".join(parts)
+    selects = "\n        UNION ALL ".join(
+        f"SELECT {i} AS step, merge_left, merge_right, pair_count FROM b{i}"
+        for i in range(1, steps + 1)
+    )
+    return f"""
+        WITH {ctes}
+        {selects}
+    """
+
+
+@register(
+    "u41_bpe_merges",
+    oracle=_bpe_oracle(),
+    doc="Distributed BPE merge learning (Sennrich et al. 2016): ONE "
+    "corpus scan folds the token stream into a (word_type, count) "
+    "vocabulary — the classic reduction that makes merge learning "
+    "corpus-size-independent — then 4 unrolled merge steps, each an "
+    "adjacent-pair count over the cached vocab, a deterministic argmax "
+    "(count DESC then lexicographic), and a boundary-safe left-to-right "
+    "substitution applied via a broadcast 1-row join (the merge flows "
+    "through the plan; nothing is collected). The (sym)-wrapping makes "
+    "the builtin replace apply merges exactly as sequential BPE, "
+    "including overlap runs. Oracle unrolls the identical chain in "
+    "DuckDB CTEs.",
+    bench=True,
+    tags=("llm-pipeline", "tokenizer", "iterative"),
+)
+def u41_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(T(spark, sf_dir, "documents"), steps=4)
+
+
+_CORR_SIGNALS = [
+    ("s1", "avg_wlen"),
+    ("s2", "distinct_ratio"),
+    ("s3", "n_tok"),
+    ("s4", "stop_share"),
+]
+_CORR_PAIRS = [
+    (i, j) for i in range(1, 5) for j in range(i + 1, 5)
+]
+
+
+def _corr_oracle() -> str:
+    sums = ", ".join(
+        [f"SUM(s{i}) AS t{i}, SUM(s{i} * s{i}) AS q{i}" for i in range(1, 5)]
+        + [f"SUM(s{i} * s{j}) AS c{i}{j}" for i, j in _CORR_PAIRS]
+    )
+    names = dict((k, v) for k, v in [(1, "avg_wlen"), (2, "distinct_ratio"),
+                                     (3, "n_tok"), (4, "stop_share")])
+    selects = "\n        UNION ALL ".join(
+        f"SELECT '{names[i]}' AS sig_a, '{names[j]}' AS sig_b, "
+        f"ROUND((n * c{i}{j} - t{i} * t{j}) / "
+        f"SQRT((n * q{i} - t{i} * t{i}) * (n * q{j} - t{j} * t{j})), 6) "
+        f"AS pearson_r FROM s"
+        for i, j in _CORR_PAIRS
+    )
+    return f"""
+        WITH sig AS (
+          SELECT
+            (list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+              / len(toks)) AS s1,
+            (len(list_distinct(toks))::DOUBLE / len(toks)) AS s2,
+            len(toks)::DOUBLE AS s3,
+            (len(list_filter(toks, t -> t IN ('a', 'the')))::DOUBLE
+              / len(toks)) AS s4
+          FROM (SELECT {TOKS_SQL} AS toks FROM documents)
+          WHERE len(toks) > 0
+        ),
+        s AS (SELECT COUNT(*)::DOUBLE AS n, {sums} FROM sig)
+        {selects}
+    """
+
+
+@register(
+    "u42_signal_corr",
+    oracle=_corr_oracle(),
+    doc="Quality-signal correlation matrix (the signal-redundancy audit "
+    "an ablation pass runs before combining filter signals): per-doc "
+    "avg word length, distinct-token ratio, token count, and stopword "
+    "share — each an exact-integer ratio so the per-doc doubles are "
+    "bit-identical cross-engine — then ONE aggregation pass produces "
+    "every moment (sums, squares, cross products) and the 6 pairwise "
+    "Pearson coefficients explode from the single moment row: one "
+    "corpus scan, one exchange, catalog-scale output regardless of "
+    "corpus size.",
+    tags=("llm-pipeline", "quality", "profiling"),
+)
+def u42_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    sig = docs.select(
+        F.size(toks).alias("nt"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+        ).alias("chars"),
+        F.size(F.filter(toks, lambda t: t.isin("a", "the"))).alias("stops"),
+    ).where(F.col("nt") > 0).select(
+        (F.col("chars") / F.col("nt")).alias("s1"),
+        (F.col("nd") / F.col("nt")).alias("s2"),
+        F.col("nt").cast("double").alias("s3"),
+        (F.col("stops") / F.col("nt")).alias("s4"),
+    )
+    aggs = [F.count("*").cast("double").alias("n")]
+    for i in range(1, 5):
+        aggs.append(F.sum(f"s{i}").alias(f"t{i}"))
+        aggs.append(F.sum(F.col(f"s{i}") * F.col(f"s{i}")).alias(f"q{i}"))
+    for i, j in _CORR_PAIRS:
+        aggs.append(F.sum(F.col(f"s{i}") * F.col(f"s{j}")).alias(f"c{i}{j}"))
+    moments = sig.agg(*aggs)
+    names = dict(
+        (int(k[1]), v) for k, v in _CORR_SIGNALS
+    )
+    n = F.col("n")
+
+    def _r(i: int, j: int):
+        num = n * F.col(f"c{i}{j}") - F.col(f"t{i}") * F.col(f"t{j}")
+        den = F.sqrt(
+            (n * F.col(f"q{i}") - F.col(f"t{i}") * F.col(f"t{i}"))
+            * (n * F.col(f"q{j}") - F.col(f"t{j}") * F.col(f"t{j}"))
+        )
+        return F.round(num / den, 6)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(names[i]).alias("sig_a"),
+                F.lit(names[j]).alias("sig_b"),
+                _r(i, j).alias("pearson_r"),
+            )
+            for i, j in _CORR_PAIRS
+        ]
+    )
+    return moments.select(F.explode(rows).alias("z")).select("z.*")

@@ -1431,3 +1431,93 @@ def test_cluster_balanced_sample_caps_large_clusters(spark):
     assert sum(r["kept"] for r in by_cluster[1]) == 2
     # kept iff rnk <= cap, per row
     assert all((r["rnk"] <= 3) == bool(r["kept"]) for r in out)
+
+
+def test_bpe_merges_hand_computed(spark):
+    """Hand-replayable corpus: 'low low lower' x2 + 'aaa'. Char pair
+    counts: l+o 6, o+w 6, w+e 2, e+r 2, a+a 2 (overlap run 'aaa' counts
+    its TWO adjacent pairs in the type table but merging is greedy
+    left-to-right, so merge a+a applied to 'aaa' yields [aa, a]).
+    Tie l+o vs o+w at 6 breaks lexicographically -> l+o first."""
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.bpe import apply_bpe, bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low low lower"), (3, "aaa")],
+        ["doc_id", "text"],
+    )
+    with released(bpe_merges(df, steps=4)) as out:
+        merges = [tuple(r) for r in out.orderBy("step").collect()]
+    # step 1: (l,o) 6 wins tie vs (o,w) 6; step 2: (lo,w) 6;
+    # step 3: (low,e) 2 vs (e,r) 2 vs (a,a) 2 -> lexicographic: (a,a);
+    # step 4: (low,e) 2 vs (e,r) 2 -> (e,r).
+    assert merges == [
+        (1, "l", "o", 6),
+        (2, "lo", "w", 6),
+        (3, "a", "a", 2),
+        (4, "e", "r", 2),
+    ]
+    seg = spark.createDataFrame(
+        [("lower",), ("aaa",), ("low",)], ["w"]
+    ).select(
+        apply_bpe("w", [(m[1], m[2]) for m in merges]).alias("syms")
+    )
+    got = [r["syms"] for r in seg.collect()]
+    # greedy left-to-right: aaa -> (aa)(a), lower -> (low)(er)
+    assert got == [["low", "er"], ["aa", "a"], ["low"]]
+
+
+def test_bpe_vocab_restriction_and_no_pairs(spark):
+    """Words outside [a-z0-9]+ are excluded by contract; a corpus whose
+    words are all single-char yields pair counts only from multi-char
+    types."""
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "a b c d's e-mail ab")], ["doc_id", "text"]
+    )
+    with released(bpe_merges(df, steps=1)) as out:
+        rows = [tuple(r) for r in out.collect()]
+    # only 'ab' survives the [a-z0-9]+ filter with >=2 symbols
+    assert rows == [(1, "a", "b", 1)]
+
+
+def test_signal_corr_matches_numpy(spark, tmp_path):
+    """u42's moment-form Pearson equals numpy.corrcoef on the same
+    per-doc signals (6dp)."""
+    import numpy as np
+
+    from gov_ec_pipeline_etl_spark.plans.registry import all_queries
+
+    docs = [
+        (i, " ".join(["tok"] * (i + 1) + ["a"] * (i % 3) + ["the"]))
+        for i in range(30)
+    ]
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
+        str(sf_dir / "documents.parquet")
+    )
+    q = all_queries()["u42_signal_corr"]
+    got = {
+        (r["sig_a"], r["sig_b"]): r["pearson_r"]
+        for r in q.spark(spark, str(sf_dir)).collect()
+    }
+    sigs = []
+    for _i, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        sigs.append(
+            (
+                sum(map(len, toks)) / n,
+                len(set(toks)) / n,
+                float(n),
+                sum(t in ("a", "the") for t in toks) / n,
+            )
+        )
+    m = np.corrcoef(np.array(sigs).T)
+    names = ["avg_wlen", "distinct_ratio", "n_tok", "stop_share"]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert abs(got[(names[i], names[j])] - m[i, j]) < 1e-6
