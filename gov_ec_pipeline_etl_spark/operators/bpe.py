@@ -86,16 +86,13 @@ def _apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
     )
 
 
-def bpe_merges(docs: DataFrame, text_col: str = "text", steps: int = 4) -> DataFrame:
-    """Learn ``steps`` BPE merges; returns (step, merge_left, merge_right,
-    pair_count) — one row per learned merge in order.
-
-    The vocabulary table and each step's 1-row argmax are persisted
-    (the argmax is consumed twice: output row + substitution input);
-    release with ``caching.released``/``unpersist_inputs``.
-    """
-    vocab = _encoded_vocab(docs, text_col).persist()
-    held = [vocab]
+def _learn(
+    vocab: DataFrame, steps: int
+) -> tuple[list[DataFrame], DataFrame, list[DataFrame]]:
+    """Run ``steps`` merge iterations over a persisted encoded vocab;
+    returns (per-step argmax rows, fully-substituted vocab, persisted
+    handles)."""
+    held: list[DataFrame] = []
     out_rows = []
     cur = vocab
     for step in range(1, steps + 1):
@@ -114,10 +111,43 @@ def bpe_merges(docs: DataFrame, text_col: str = "text", steps: int = 4) -> DataF
                 "pair_count",
             )
         )
-        if step < steps:
-            cur = _apply_merge(cur, best)
+        cur = _apply_merge(cur, best)
+    return out_rows, cur, held
+
+
+def bpe_merges(docs: DataFrame, text_col: str = "text", steps: int = 4) -> DataFrame:
+    """Learn ``steps`` BPE merges; returns (step, merge_left, merge_right,
+    pair_count) — one row per learned merge in order.
+
+    The vocabulary table and each step's 1-row argmax are persisted
+    (the argmax is consumed twice: output row + substitution input);
+    release with ``caching.released``/``unpersist_inputs``.
+    """
+    vocab = _encoded_vocab(docs, text_col).persist()
+    out_rows, _cur, held = _learn(vocab, steps)
     out = reduce(DataFrame.unionByName, out_rows)
-    return hold(out, *held)
+    return hold(out, vocab, *held)
+
+
+def bpe_segmented_vocab(
+    docs: DataFrame, text_col: str = "text", steps: int = 4
+) -> DataFrame:
+    """Learn ``steps`` merges from the corpus, apply ALL of them to the
+    vocabulary, and return the segmentation map ``(w, n_syms)`` — one
+    row per word type with its BPE symbol count. The map is
+    vocab-bounded, so downstream consumers join it back to the token
+    stream (broadcast at small vocabularies, hash join at web-scale
+    ones). Persisted handles ride the result; release after consuming.
+    """
+    vocab = _encoded_vocab(docs, text_col).persist()
+    _rows, cur, held = _learn(vocab, steps)
+    out = cur.select(
+        F.translate("ws", "()", "").alias("w"),
+        F.size(F.regexp_extract_all("ws", F.lit(r"\(([^()]+)\)"), 1)).alias(
+            "n_syms"
+        ),
+    )
+    return hold(out, vocab, *held)
 
 
 def apply_bpe(

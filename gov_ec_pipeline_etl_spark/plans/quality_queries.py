@@ -355,10 +355,11 @@ def u40_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(assigned, cap=_sample_cap(sf_dir))
 
 
-def _bpe_oracle(steps: int = 4) -> str:
-    """Unrolled BPE replay: vocab CTE, then per step a pair-count CTE, an
-    argmax CTE, and a substituted-vocab CTE — the same left-to-right
-    non-overlapping ``replace`` over the same parenthesis encoding."""
+def _bpe_chain_parts(steps: int) -> list[str]:
+    """CTE parts for the unrolled BPE replay: vocab w0, then per step a
+    pair-count p{i}, an argmax b{i}, and a substituted vocab w{i} — the
+    same left-to-right non-overlapping ``replace`` over the same
+    parenthesis encoding the engine applies."""
     parts = [
         f"""w0 AS (
           SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS ws, COUNT(*) AS cnt
@@ -381,15 +382,18 @@ def _bpe_oracle(steps: int = 4) -> str:
           SELECT * FROM p{i}
           ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
         )""")
-        if i < steps:
-            parts.append(f"""w{i} AS (
+        parts.append(f"""w{i} AS (
           SELECT replace(ws, '(' || b.merge_left || ')(' || b.merge_right
                              || ')',
                          '(' || b.merge_left || b.merge_right || ')') AS ws,
                  cnt
           FROM w{i - 1}, b{i} b
         )""")
-    ctes = ",\n        ".join(parts)
+    return parts
+
+
+def _bpe_oracle(steps: int = 4) -> str:
+    ctes = ",\n        ".join(_bpe_chain_parts(steps))
     selects = "\n        UNION ALL ".join(
         f"SELECT {i} AS step, merge_left, merge_right, pair_count FROM b{i}"
         for i in range(1, steps + 1)
@@ -397,6 +401,29 @@ def _bpe_oracle(steps: int = 4) -> str:
     return f"""
         WITH {ctes}
         {selects}
+    """
+
+
+def _bpe_fertility_oracle(steps: int = 4) -> str:
+    """Replay the full merge chain, then apply the segmentation map back
+    to the per-source token stream (the map join doubles as the
+    [a-z0-9]+ vocabulary filter — the map holds exactly those types)."""
+    ctes = ",\n        ".join(_bpe_chain_parts(steps))
+    return f"""
+        WITH {ctes},
+        seg AS (
+          SELECT replace(replace(ws, '(', ''), ')', '') AS w,
+                 len(regexp_extract_all(ws, '\\(([^()]+)\\)', 1)) AS n_syms
+          FROM w{steps}
+        ),
+        tokstream AS (
+          SELECT source, unnest({TOKS_SQL}) AS w FROM documents
+        )
+        SELECT t.source,
+               ROUND(SUM(s.n_syms)::DOUBLE / COUNT(*), 6) AS bpe_fertility,
+               COUNT(*) AS n_toks
+        FROM tokstream t JOIN seg s USING (w)
+        GROUP BY t.source
     """
 
 
@@ -527,3 +554,40 @@ def u42_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return moments.select(F.explode(rows).alias("z")).select("z.*")
+
+
+@register(
+    "u43_bpe_fertility",
+    oracle=_bpe_fertility_oracle(),
+    doc="BPE segmentation applied at corpus scale: learn u41's 4 merges "
+    "from the corpus itself, apply ALL of them to the vocabulary, and "
+    "join the vocab-bounded (word, n_syms) segmentation map back to "
+    "the per-source token stream to measure post-merge fertility "
+    "(symbols per token) by source — the train+apply shape of a "
+    "tokenizer pipeline, mirroring how u39 measures a fixed external "
+    "segmenter. The map join doubles as the [a-z0-9]+ vocabulary "
+    "filter. Oracle replays the full unrolled merge chain plus the "
+    "same map join.",
+    tags=("llm-pipeline", "tokenizer", "iterative"),
+)
+def u43_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.bpe import bpe_segmented_vocab
+
+    docs = T(spark, sf_dir, "documents")
+    seg = bpe_segmented_vocab(docs, steps=4)
+    held = getattr(seg, "_persisted_inputs", [])
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    stream = docs.select(
+        "source", F.explode(F.split(norm, " ")).alias("w")
+    )
+    out = (
+        stream.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.round(F.sum("n_syms") / F.count("*"), 6).alias("bpe_fertility"),
+            F.count("*").alias("n_toks"),
+        )
+    )
+    from gov_ec_pipeline_etl_spark.caching import hold
+
+    return hold(out, *held)

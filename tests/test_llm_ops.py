@@ -1521,3 +1521,18 @@ def test_signal_corr_matches_numpy(spark, tmp_path):
     for i in range(4):
         for j in range(i + 1, 4):
             assert abs(got[(names[i], names[j])] - m[i, j]) < 1e-6
+
+
+def test_bpe_segmented_vocab_hand_computed(spark):
+    """After the 4 hand-verified merges (l+o, lo+w, a+a, e+r), 'low'
+    is 1 symbol, 'lower' is 2 ('low','er'), 'aaa' is 2 ('aa','a')."""
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.bpe import bpe_segmented_vocab
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low low lower"), (3, "aaa")],
+        ["doc_id", "text"],
+    )
+    with released(bpe_segmented_vocab(df, steps=4)) as seg:
+        got = {r["w"]: r["n_syms"] for r in seg.collect()}
+    assert got == {"low": 1, "lower": 2, "aaa": 2}
