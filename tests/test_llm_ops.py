@@ -1536,3 +1536,61 @@ def test_bpe_segmented_vocab_hand_computed(spark):
     with released(bpe_segmented_vocab(df, steps=4)) as seg:
         got = {r["w"]: r["n_syms"] for r in seg.collect()}
     assert got == {"low": 1, "lower": 2, "aaa": 2}
+
+
+def test_bpe_property_matches_python_reference(spark):
+    """Property: on random small corpora the distributed merge learner
+    equals a sequential pure-Python BPE (same count-DESC/lexicographic
+    tie-break, same greedy left-to-right substitution). Also pins the
+    exhaustion edge: once no pairs remain, remaining steps emit nothing
+    (engine and oracle collapse identically)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.bpe import bpe_merges
+
+    def ref_bpe(words, steps):
+        vocab = Counter(tuple(w) for w in words)
+        merges = []
+        for _ in range(steps):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += c
+            if not pc:
+                break
+            m = max(pc.values())
+            best = min(p for p, c in pc.items() if c == m)
+            merges.append((best[0], best[1], m))
+            nv = Counter()
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] += c
+            vocab = nv
+        return merges
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    corpus = st.lists(word, min_size=1, max_size=12)
+
+    @given(corpus=corpus, steps=st.integers(min_value=1, max_value=3))
+    @settings(max_examples=12, deadline=None)
+    def check(corpus, steps):
+        df = spark.createDataFrame([(1, " ".join(corpus))], ["doc_id", "text"])
+        with released(bpe_merges(df, steps=steps)) as out:
+            got = [
+                (r["merge_left"], r["merge_right"], r["pair_count"])
+                for r in out.orderBy("step").collect()
+            ]
+        assert got == ref_bpe(corpus, steps)
+
+    check()
