@@ -179,6 +179,68 @@ def _index_cmd(args) -> int:
     return 0
 
 
+def _bpe_cmd(args) -> int:
+    """Tokenizer merge-table lifecycle: ``learn`` runs the distributed
+    merge learner and stores the ordered merge table; ``apply`` segments
+    another corpus's vocabulary with the stored merges (catalog-scale
+    literals, read back once) and prints the top word types + overall
+    fertility."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.bpe import apply_bpe, bpe_merges
+    from gov_ec_pipeline_etl_spark.session import get_spark
+
+    spark = get_spark("gov-ec-pipeline-etl-bpe")
+    if args.action == "learn":
+        docs = spark.read.parquet(args.docs)
+        with released(
+            bpe_merges(docs, args.text_col, steps=args.steps)
+        ) as m:
+            m.orderBy("step").coalesce(1).write.mode("overwrite").parquet(
+                args.merges
+            )
+        rows = [
+            r.asDict()
+            for r in spark.read.parquet(args.merges).orderBy("step").collect()
+        ]
+        print(json.dumps({"written": args.merges, "merges": rows}, default=str))
+        return 0
+
+    # apply: the merge table is catalog-scale (one row per learned merge)
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in spark.read.parquet(args.merges).orderBy("step").collect()
+    ]
+    docs = spark.read.parquet(args.docs)
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(args.text_col))), r"\s+", " "
+    )
+    vocab = (
+        docs.select(F.explode(F.split(norm, " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seg = vocab.select(
+        "w", "cnt", apply_bpe("w", merges).alias("syms")
+    ).persist()
+    head = seg.orderBy(F.desc("cnt"), "w").limit(args.limit).collect()
+    stats = seg.agg(
+        (F.sum(F.size("syms") * F.col("cnt")) / F.sum("cnt")).alias("f"),
+        F.count("*").alias("types"),
+    ).collect()[0]
+    seg.unpersist()
+    for r in head:
+        print(json.dumps(r.asDict(), default=str))
+    print(
+        json.dumps(
+            {"fertility": round(stats["f"], 6), "word_types": stats["types"]}
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gov_ec_pipeline_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -229,6 +291,19 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--threshold", type=float, default=0.5)
     pi.add_argument("--files-per-partition", type=int, default=1)
     pi.add_argument("--limit", type=int, default=20, help="rows printed (probe/pairs)")
+
+    # tokenizer merge-table lifecycle: learn writes a stored merge
+    # table; apply segments any corpus with it (same operability
+    # contract as the stored indexes).
+    pb = sub.add_parser(
+        "bpe", help="BPE merge-table lifecycle (learn / apply)"
+    )
+    pb.add_argument("action", choices=["learn", "apply"])
+    pb.add_argument("docs", help="input parquet with a text column")
+    pb.add_argument("merges", help="merge-table parquet path")
+    pb.add_argument("--steps", type=int, default=8, help="merges to learn")
+    pb.add_argument("--text-col", default="text")
+    pb.add_argument("--limit", type=int, default=10, help="rows printed (apply)")
 
     pc = sub.add_parser(
         "curate",
@@ -328,6 +403,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "index":
         return _index_cmd(args)
+
+    if args.cmd == "bpe":
+        return _bpe_cmd(args)
 
     if args.cmd == "curate":
         from gov_ec_pipeline_etl_spark.caching import unpersist_inputs

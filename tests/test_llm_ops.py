@@ -1594,3 +1594,30 @@ def test_bpe_property_matches_python_reference(spark):
         assert got == ref_bpe(corpus, steps)
 
     check()
+
+
+def test_bpe_cli_lifecycle(spark, tmp_path, capsys):
+    """learn writes the ordered merge table; apply segments a corpus
+    with it and reports the hand-computable fertility: token stream is
+    low x4, lower x2, aaa x1 with 1/2/2 symbols -> 10/7."""
+    import json as _json
+
+    from gov_ec_pipeline_etl_spark.cli import main
+
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(1, "low low lower"), (2, "low low lower"), (3, "aaa")],
+        ["doc_id", "text"],
+    ).write.parquet(str(docs))
+    merges = tmp_path / "merges.parquet"
+    assert main(["bpe", "learn", str(docs), str(merges), "--steps", "4"]) == 0
+    learned = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [
+        (m["step"], m["merge_left"], m["merge_right"]) for m in learned["merges"]
+    ] == [(1, "l", "o"), (2, "lo", "w"), (3, "a", "a"), (4, "e", "r")]
+    assert main(["bpe", "apply", str(docs), str(merges)]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    stats = _json.loads(lines[-1])
+    assert stats == {"fertility": round(10 / 7, 6), "word_types": 3}
+    top = _json.loads(lines[0])
+    assert top["w"] == "low" and top["syms"] == ["low"]
