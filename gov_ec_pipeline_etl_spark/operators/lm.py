@@ -82,3 +82,60 @@ def bigram_crossentropy(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.avg("lp"), 6).alias("xent"),
     )
+
+
+TERCILE_BUCKET_DP = 2  # coarse bucket = xent rounded to 2dp (monotone)
+
+
+def xent_terciles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): rank the
+    scored documents by (xent, id) and cut the corpus into exact
+    thirds — ``head`` is the lowest-perplexity third. Only documents
+    with ≥2 tokens carry a score and participate (the others never
+    enter ``bigram_crossentropy``'s output; a real pipeline routes
+    them to a length gate first).
+
+    Scale: the naive spelling is ROW_NUMBER over the whole corpus —
+    one partition. Instead the rank is hierarchical, the same
+    decomposition as ``stratified_split``/``token_budget_take`` but
+    keyed on the ORDER ATTRIBUTE itself: the coarse bucket is the xent
+    rounded to ``TERCILE_BUCKET_DP`` places — a monotone function of the sort
+    key (2dp), so bucket order is a prefix of the total order; bucket count
+    is bounded by the xent RANGE (~ln V), not the corpus. Cumulative
+    bucket counts broadcast, the within-bucket window ranks by
+    (xent, id), and rank = offset + row_number - 1 is bit-identical to
+    the global window the oracle runs (pinned by unit test).
+    """
+    scored = bigram_crossentropy(df, id_col, text_col)
+    base = scored.select(
+        "id", "xent", F.round("xent", TERCILE_BUCKET_DP).alias("bucket")
+    )
+    per_bucket = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("offset"),
+        F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    w_rank = Window.partitionBy("bucket").orderBy("xent", "id")
+    ranked = base.join(F.broadcast(offsets), ["bucket"]).select(
+        "id",
+        "xent",
+        (F.col("offset") + F.row_number().over(w_rank) - 1).alias("rnk"),
+        "n",
+    )
+    r3 = F.col("rnk") * 3
+    return ranked.select(
+        "id",
+        "xent",
+        F.when(r3 < F.col("n"), F.lit("head"))
+        .when(r3 < F.col("n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -2181,3 +2181,61 @@ def u35_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hold(out, *getattr(pairs, "_persisted_inputs", []))
+
+
+@register(
+    "u44_xent_terciles",
+    oracle=f"""
+        WITH toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        tok AS (
+          SELECT doc_id, toks[u.i] AS t
+          FROM toksed, UNNEST(range(1, len(toks) + 1)) AS u(i)
+        ),
+        bg AS (
+          SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+          FROM toksed, UNNEST(range(1, len(toks))) AS u(i)
+        ),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        c1 AS (
+          SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+        ),
+        vocab AS (SELECT COUNT(DISTINCT t) AS v FROM tok),
+        scored AS (
+          SELECT b.doc_id,
+                 ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + vocab.v)) AS lp
+          FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
+        ),
+        x AS (
+          SELECT doc_id AS id, ROUND(-AVG(lp), 6) AS xent
+          FROM scored GROUP BY doc_id
+        ),
+        r AS (
+          SELECT id, xent,
+                 ROW_NUMBER() OVER (ORDER BY xent, id) - 1 AS rnk,
+                 COUNT(*) OVER () AS n
+          FROM x
+        )
+        SELECT id, xent,
+               CASE WHEN rnk * 3 < n THEN 'head'
+                    WHEN rnk * 3 < n * 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
+    """,
+    doc="CCNet head/middle/tail perplexity split (Wenzek et al. 2020 "
+    "§4.3): u32's corpus-fitted bigram cross-entropy ranked by "
+    "(xent, id) and cut into exact thirds — head is the fluent third "
+    "a CCNet-style pipeline keeps. The global rank is computed "
+    "hierarchically with the coarse bucket keyed on the SORT "
+    "ATTRIBUTE itself (xent rounded to 2dp — monotone, so bucket "
+    "order prefixes the total order; bucket count bounded by the xent "
+    "range, not the corpus): cumulative bucket counts broadcast, "
+    "within-bucket windows rank, no single-partition global sort. The "
+    "oracle runs the plain global window — bit-equality with the "
+    "decomposition is the correctness claim.",
+    tags=("llm-pipeline", "text", "quality", "lm", "selection"),
+)
+def u44_xent_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.lm import xent_terciles
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return xent_terciles(docs, "doc_id", "text")

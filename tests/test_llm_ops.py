@@ -1621,3 +1621,27 @@ def test_bpe_cli_lifecycle(spark, tmp_path, capsys):
     assert stats == {"fertility": round(10 / 7, 6), "word_types": 3}
     top = _json.loads(lines[0])
     assert top["w"] == "low" and top["syms"] == ["low"]
+
+
+def test_xent_terciles_exact_thirds_and_tie_break(spark):
+    """9 docs = 3 texts x 3 copies (each group shares one xent): exact
+    3/3/3 buckets, and the bucketed decomposition must equal the
+    Python global-sort-by-(xent, id) definition, which forces the
+    id tie-break to split an equal-xent group across buckets."""
+    from gov_ec_pipeline_etl_spark.operators.lm import xent_terciles
+
+    texts = ["a a a a", "b c d e b c", "f g h i j k l f"]
+    rows = [(10 * t + c, texts[t]) for t in range(3) for c in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: (r["xent"], r["bucket"]) for r in
+           xent_terciles(df, "doc_id", "text").collect()}
+    assert len(got) == 9
+    order = sorted(got, key=lambda i: (got[i][0], i))
+    expect = {i: "head" if r * 3 < 9 else "middle" if r * 3 < 18 else "tail"
+              for r, i in enumerate(order)}
+    assert {i: b for i, (_x, b) in got.items()} == expect
+    from collections import Counter
+
+    assert Counter(b for _x, b in got.values()) == Counter(
+        {"head": 3, "middle": 3, "tail": 3}
+    )
