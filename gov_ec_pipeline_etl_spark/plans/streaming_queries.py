@@ -207,3 +207,62 @@ def v03_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     return run_streaming_quality_gate(spark, docs, n_batches=3)
+
+
+def _v04_oracle(_sf_dir: str | None = None) -> str:
+    from gov_ec_pipeline_etl_spark.plans.dedup_queries import (
+        TOKS_SQL as _TOKS_SQL,
+    )
+    from gov_ec_pipeline_etl_spark.plans.quality_queries import (
+        _bpe_chain_parts,
+    )
+
+    ctes = ",\n        ".join(_bpe_chain_parts(4))
+    return f"""
+        WITH {ctes},
+        seg AS (
+          SELECT replace(replace(ws, '(', ''), ')', '') AS w,
+                 len(regexp_extract_all(ws, '\\(([^()]+)\\)', 1)) AS n_syms
+          FROM w4
+        ),
+        tokstream AS (
+          SELECT doc_id, source, unnest({_TOKS_SQL}) AS w
+          FROM documents
+        )
+        SELECT t.doc_id AS id, t.source,
+               CAST(SUM(s.n_syms) AS BIGINT) AS n_syms,
+               CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM tokstream t JOIN seg s USING (w)
+        GROUP BY t.doc_id, t.source
+    """
+
+
+
+@register(
+    "v04_streaming_bpe_meter",
+    oracle=_v04_oracle,
+    doc="Ingest-time tokenization metering: BPE merges are learned from "
+    "the corpus in batch (u41's learner), then documents arrive in 3 "
+    "micro-batches and each foreachBatch segments its batch with the "
+    "stored merge table and appends the per-document "
+    "(id, source, n_syms, n_toks) meter row — the number a "
+    "budget-aware ingest loop charges against a source quota. "
+    "Per-document and stateless, so the streamed union equals the "
+    "one-shot batch and the u43-style segmentation-map oracle "
+    "hash-checks the REAL AvailableNow stream end to end.",
+    tags=("streaming", "tokenizer", "llm-pipeline"),
+)
+def v04_streaming_bpe_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.bpe import bpe_merges
+    from gov_ec_pipeline_etl_spark.streaming.ingest import (
+        run_streaming_bpe_meter,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    with released(bpe_merges(docs, steps=4)) as m:
+        merges = [
+            (r["merge_left"], r["merge_right"])
+            for r in m.orderBy("step").collect()
+        ]
+    return run_streaming_bpe_meter(spark, docs, merges, n_batches=3)

@@ -120,3 +120,67 @@ def run_streaming_quality_gate(
         "id bigint, top2_frac double, top3_frac double, top4_frac double, "
         "dup5_frac double, flagged int"
     ).parquet(out)
+
+
+def run_streaming_bpe_meter(
+    spark: SparkSession,
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    n_batches: int = 3,
+) -> DataFrame:
+    """Stream ``docs`` in ``n_batches`` micro-batches through a learned
+    BPE merge table: each foreachBatch segments its batch's tokens with
+    ``apply_bpe`` (the merge list is catalog-scale literals — the same
+    class as broadcast centroid tables) and appends the per-document
+    tokenization meter row ``(id, source, n_syms, n_toks)``.
+
+    This is the ingest-time deployment of the tokenizer tier: meter the
+    token/symbol cost of arrivals as they land — the number a
+    budget-aware ingest loop charges against a source quota — instead
+    of re-tokenizing the corpus in a nightly sweep. Per-document and
+    stateless, so the streamed union equals the one-shot batch result
+    exactly and the u43-style segmentation-map oracle hash-checks the
+    stream end to end. Documents with no ``[a-z0-9]+`` token emit no
+    row (nothing to meter), matching the oracle's map join."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.operators.bpe import apply_bpe
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"bpe_meter_{run}")
+    staging, out, ckpt = f"{base}/docs", f"{base}/out", f"{base}/ckpt"
+    docs.repartition(n_batches).write.mode("overwrite").parquet(staging)
+
+    def meter_batch(batch: DataFrame, _batch_id: int) -> None:
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        stream = batch.select(
+            F.col("doc_id").alias("id"),
+            "source",
+            F.explode(F.split(norm, " ")).alias("w"),
+        ).where(F.col("w").rlike("^[a-z0-9]+$"))
+        (
+            stream.select(
+                "id", "source", F.size(apply_bpe("w", merges)).alias("ns")
+            )
+            .groupBy("id", "source")
+            .agg(
+                F.sum("ns").alias("n_syms"),
+                F.count("*").alias("n_toks"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(meter_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "id bigint, source string, n_syms bigint, n_toks bigint"
+    ).parquet(out)
