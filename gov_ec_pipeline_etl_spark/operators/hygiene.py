@@ -1,0 +1,209 @@
+"""Corpus-hygiene operators: PII scrubbing, cross-document line dedup,
+and edit-distance near-dup verification.
+
+The web-scale curation passes every published pretraining pipeline runs
+before training (C4/Raffel et al. 2020 §2.2 line dedup; CCNet/Dolma-style
+PII masking; RETSim-style bounded edit-distance verification of LSH
+candidates). All three stay JVM-side: regex + hash aggregations + the
+built-in `levenshtein`, no Python UDFs.
+
+Reference parity note: the reference pipeline (dfevx/gov-ec-pipeline-etl,
+etl/transform.py) normalizes and deduplicates exact keys only; these
+operators are part of the LLM-pipeline tier the engine adds on top.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# Shared regex vocabulary — deliberately simple patterns that parse
+# identically under Java regex (Spark) and RE2 (DuckDB oracles): ASCII
+# classes, bounded quantifiers, no backrefs/lookarounds.
+EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.com"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+IP_RE = r"\d+\.\d+\.\d+\.\d+"
+
+
+def plant_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Column:
+    """Deterministically augment ``text_col`` with synthetic PII keyed off
+    ``id_col`` (the corpus is PII-free word salad, so detection needs
+    planted positives — same construction the incremental-dedup queries
+    use for planted duplicates). Returns the augmented text column:
+    every doc_id % 7 gains an email, % 11 a phone, % 13 an IPv4."""
+    did = F.col(id_col)
+    email = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            (did % 97).cast("string"),
+            F.lit("@mail"),
+            (did % 5).cast("string"),
+            F.lit(".com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" call "),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 13 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit("."),
+            (did % 250).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col(text_col), email, phone, ip)
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Detect and redact emails / phone numbers / IPv4 addresses.
+
+    Counts are taken on the raw text BEFORE redaction (each pattern
+    independent); redaction replaces matches in a fixed order
+    (email → phone → ip) whose placeholders cannot re-match a later
+    pattern. Output: (doc_id, n_email, n_phone, n_ip, redacted_md5) —
+    the md5 proves the redacted string is byte-identical cross-engine.
+    Purely per-row expression work: zero shuffles, zero Python."""
+    aug = plant_pii(df, id_col, text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(aug, F.lit(EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count(aug, F.lit(PHONE_RE)).cast("bigint").alias("n_phone"),
+        F.regexp_count(aug, F.lit(IP_RE)).cast("bigint").alias("n_ip"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+    dup_threshold: int = 3,
+) -> DataFrame:
+    """C4-style cross-document line dedup (Raffel et al. 2020 §2.2):
+    segment every document into fixed ``seg_tokens``-token lines, count
+    each line across the WHOLE corpus, and drop every occurrence of a
+    line seen >= ``dup_threshold`` times except the globally first one
+    (min (doc_id, seg_idx) — "remove all but one").
+
+    Output per document: (doc_id, n_segs, n_removed, kept_md5) where
+    kept_md5 hashes the document rebuilt from its surviving lines in
+    original order.
+
+    Scale shape: one explode, then TWO shuffles — a groupBy on the line
+    (map-side combine absorbs hot boilerplate lines; no per-line sort,
+    so a line owned by 30% of the corpus is an aggregate cell, not a
+    window straggler) and a groupBy on doc_id for reassembly. The
+    line-stats join is line-keyed against the just-aggregated table, so
+    AQE plans it off the same exchange."""
+    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("bigint")
+    segs = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, (i * seg_tokens + 1).cast("int"), seg_tokens), " "
+        ),
+    )
+    seg_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    stats = seg_rows.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "seg_idx")).alias("first"),
+    )
+    keep = (F.col("cnt") < dup_threshold) | (
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("seg_idx") == F.col("first.seg_idx"))
+    )
+    j = seg_rows.join(stats, "seg").withColumn("keep", keep)
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(F.col("keep"), F.struct("seg_idx", "seg")))
+            ),
+            lambda x: x.seg,
+        ),
+        " ",
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
+        F.md5(kept_text).alias("kept_md5"),
+    )
+
+
+EDIT_OFFSET = 7_000_000  # planted-variant id space (MUT_OFFSET is 1M)
+
+
+def editdist_verify_pairs(
+    corpus: DataFrame,
+    variants: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_chars: int = 24,
+    cap_chars: int = 160,
+    max_dist: int = 6,
+    max_df: int = 50,
+) -> DataFrame:
+    """Bounded edit-distance verification of blocked candidates — the
+    exact-verify stage fuzzy-dedup pipelines run after LSH/blocking
+    (RETSim-style). Candidates are generated by an equality join on the
+    first ``key_chars`` chars of the normalized text (a blocking key,
+    same candidate-generation role as d04's shingle buckets), with the
+    d04 ``max_df`` discipline: blocking keys owned by more than
+    ``max_df`` corpus documents are cut from candidate generation, so
+    per-key fan-out is bounded and no hot prefix can go quadratic.
+    Verification computes `levenshtein` on the first ``cap_chars``
+    chars (the bounded window that keeps the O(n²) DP cell count
+    constant per pair) and keeps pairs within ``max_dist`` edits.
+
+    Output: (new_id, corpus_id, lev, sim) with sim = 1 - lev/cap.
+    JVM-side throughout (built-in levenshtein); the only shuffles are
+    the key-count aggregate and the blocking join."""
+
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.substring(norm, 1, key_chars).alias("bkey"),
+            F.substring(norm, 1, cap_chars).alias("capped"),
+        )
+
+    c = prep(corpus, "corpus_id")
+    v = prep(variants, "new_id").withColumnRenamed("capped", "vcapped")
+    eligible = c.groupBy("bkey").agg(F.count(F.lit(1)).alias("df_cnt")).where(
+        F.col("df_cnt") <= max_df
+    )
+    pairs = (
+        v.join(eligible.select("bkey"), "bkey")
+        .join(c, "bkey")
+        .withColumn("lev", F.levenshtein("vcapped", "capped").cast("bigint"))
+        .where(F.col("lev") <= max_dist)
+    )
+    return pairs.select(
+        "new_id",
+        "corpus_id",
+        "lev",
+        F.round(F.lit(1.0) - F.col("lev") / F.lit(float(cap_chars)), 6).alias("sim"),
+    )

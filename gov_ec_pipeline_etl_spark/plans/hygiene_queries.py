@@ -1,0 +1,196 @@
+"""Corpus-hygiene queries (u45, u46, u48): PII scrubbing, C4-style
+cross-document line dedup, and bounded edit-distance verification.
+
+The pre-training hygiene passes (Raffel et al. 2020 §2.2; CCNet/Dolma
+PII masking) the engine runs on the `documents` table. Every query
+carries a full DuckDB oracle: the PII planting is a deterministic
+function of doc_id evaluated identically by both engines (the u12
+planted-duplicate pattern), and all hashing is md5 over byte-identical
+strings.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gov_ec_pipeline_etl_spark.operators.hygiene import (
+    EDIT_OFFSET,
+    corpus_line_dedup,
+    editdist_verify_pairs,
+    pii_scrub,
+)
+from gov_ec_pipeline_etl_spark.plans.dedup_queries import NORM_SQL, TOKS_SQL
+from gov_ec_pipeline_etl_spark.plans.registry import register
+from gov_ec_pipeline_etl_spark.plans.util import T
+
+# The planted-PII construction as DuckDB SQL — mirrors operators.hygiene
+# .plant_pii term for term so both engines redact the same bytes.
+_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 7 = 0 THEN
+         ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+         || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+       ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN
+         ' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN
+         ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         || '.' || CAST(doc_id % 250 AS VARCHAR)
+       ELSE '' END
+"""
+
+PII_ORACLE = f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS a FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(a, '[a-z0-9]+@[a-z0-9]+\\.com')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(a, '\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(a, '\\d+\\.\\d+\\.\\d+\\.\\d+')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(a,
+               '[a-z0-9]+@[a-z0-9]+\\.com', '<EMAIL>', 'g'),
+               '\\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g'),
+               '\\d+\\.\\d+\\.\\d+\\.\\d+', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+"""
+
+
+@register(
+    "u45_pii_scrub",
+    oracle=PII_ORACLE,
+    doc="PII detection + redaction (the CCNet/Dolma-style masking pass): "
+    "emails, phone numbers, and IPv4 addresses are counted "
+    "independently on the raw text, then redacted in a fixed order "
+    "whose placeholders cannot re-match a later pattern; the md5 of "
+    "the redacted text proves byte-identical masking cross-engine. "
+    "The corpus is PII-free word salad, so positives are planted as a "
+    "deterministic function of doc_id evaluated identically by both "
+    "engines (the u12 planted-duplicate pattern) — clean docs assert "
+    "the zero-false-positive side. Purely per-row regex expressions: "
+    "zero shuffles, zero Python, embarrassingly parallel at 100 TB.",
+    bench=True,
+    tags=("text", "pii", "hygiene", "llm-pipeline"),
+)
+def u45_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(T(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+LINE_DEDUP_ORACLE = f"""
+    WITH toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(CEIL(len(toks) / 8.0) AS BIGINT))) AS seg_idx
+      FROM toksed
+    ),
+    segrows AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(toks[seg_idx * 8 + 1 : seg_idx * 8 + 8], ' ') AS seg
+      FROM idx
+    ),
+    stats AS (
+      SELECT seg, COUNT(*) AS cnt,
+             MIN({{'doc_id': doc_id, 'seg_idx': seg_idx}}) AS first
+      FROM segrows GROUP BY seg
+    ),
+    j AS (
+      SELECT s.doc_id, s.seg_idx, s.seg,
+             (g.cnt < 3 OR (s.doc_id = g.first.doc_id
+                            AND s.seg_idx = g.first.seg_idx)) AS keep
+      FROM segrows s JOIN stats g USING (seg)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE keep), '')) AS kept_md5
+    FROM j GROUP BY doc_id
+"""
+
+
+@register(
+    "u46_line_dedup",
+    oracle=LINE_DEDUP_ORACLE,
+    doc="C4-style cross-document line dedup (Raffel et al. 2020 §2.2, "
+    "'remove all but one of any three-sentence span occurring more "
+    "than once'): each document is segmented into fixed 8-token lines, "
+    "every line is counted across the WHOLE corpus, and all "
+    "occurrences of a line seen >= 3 times are dropped except the "
+    "globally first (min (doc_id, seg_idx)). Output: per-doc segment / "
+    "removed counts plus the md5 of the document rebuilt from its "
+    "surviving lines in original order. Scale shape: one explode and "
+    "two shuffles — a line-keyed aggregate (map-side combine absorbs "
+    "hot boilerplate lines; min-struct beats a per-line row_number "
+    "sort, so a line owned by 30 percent of the corpus is an aggregate "
+    "cell, "
+    "not a window straggler) and the doc_id reassembly.",
+    bench=True,
+    tags=("text", "dedup", "hygiene", "llm-pipeline"),
+)
+def u46_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_line_dedup(T(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+EDITDIST_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id AS corpus_id,
+             substr({NORM_SQL}, 1, 24) AS bkey,
+             substr({NORM_SQL}, 1, 160) AS capped
+      FROM documents
+    ),
+    vsrc AS (
+      SELECT doc_id, {NORM_SQL} AS nrm FROM documents WHERE doc_id % 10 = 0
+    ),
+    v AS (
+      SELECT doc_id + {EDIT_OFFSET} AS new_id,
+             CASE WHEN len(nrm) > 3
+                  THEN substr(nrm, 1, len(nrm) - 3) || 'qzj'
+                  ELSE 'qzj' END AS vt
+      FROM vsrc
+    ),
+    v2 AS (
+      SELECT new_id, substr(vt, 1, 24) AS bkey, substr(vt, 1, 160) AS vcapped
+      FROM v
+    ),
+    elig AS (SELECT bkey FROM c GROUP BY bkey HAVING COUNT(*) <= 50),
+    pairs AS (
+      SELECT v2.new_id, c.corpus_id,
+             CAST(levenshtein(v2.vcapped, c.capped) AS BIGINT) AS lev
+      FROM v2 JOIN elig USING (bkey) JOIN c USING (bkey)
+    )
+    SELECT new_id, corpus_id, lev, ROUND(1.0 - lev / 160.0, 6) AS sim
+    FROM pairs WHERE lev <= 6
+"""
+
+
+@register(
+    "u48_editdist_verify",
+    oracle=EDITDIST_ORACLE,
+    doc="Bounded edit-distance verification of blocked near-dup "
+    "candidates (the exact-verify stage after LSH/blocking, RETSim "
+    "shape): planted variants (every 10th doc, last 3 chars rewritten "
+    "— the u12 planted-arrival pattern) are blocked against the corpus "
+    "on a 24-char normalized-prefix key under d04's max_df<=50 cut (a "
+    "hot prefix is excluded from candidate generation, bounding "
+    "per-key fan-out), then verified with the built-in `levenshtein` "
+    "over a 160-char window (constant DP cost per pair) keeping pairs "
+    "within 6 edits. JVM-side throughout; the only shuffles are the "
+    "key-count aggregate and the blocking join.",
+    tags=("dedup", "hygiene", "editdist", "llm-pipeline"),
+)
+def u48_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    variants = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + EDIT_OFFSET).alias("doc_id"),
+        F.when(
+            F.length(norm) > 3,
+            F.concat(
+                F.substring(norm, F.lit(1), F.length(norm) - 3), F.lit("qzj")
+            ),
+        )
+        .otherwise(F.lit("qzj"))
+        .alias("text"),
+    )
+    return editdist_verify_pairs(docs, variants)

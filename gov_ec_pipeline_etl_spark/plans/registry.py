@@ -67,6 +67,7 @@ _QUERY_MODULES = [
     "gov_ec_pipeline_etl_spark.plans.multimodal_queries",
     "gov_ec_pipeline_etl_spark.plans.training_queries",
     "gov_ec_pipeline_etl_spark.plans.quality_queries",
+    "gov_ec_pipeline_etl_spark.plans.hygiene_queries",
 ]
 
 

@@ -266,3 +266,31 @@ def v04_streaming_bpe_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in m.orderBy("step").collect()
         ]
     return run_streaming_bpe_meter(spark, docs, merges, n_batches=3)
+
+
+from gov_ec_pipeline_etl_spark.plans.hygiene_queries import (
+    PII_ORACLE as _V05_ORACLE,
+)
+
+
+@register(
+    "v05_streaming_pii_gate",
+    oracle=_V05_ORACLE,
+    doc="Streaming ingest-time PII gate: documents arrive in 3 "
+    "micro-batches (file source, maxFilesPerTrigger=1) and each "
+    "foreachBatch counts + redacts emails/phones/IPv4s with u45's "
+    "scrub BEFORE the documents would be persisted to the corpus "
+    "store — the compliance deployment where masking happens on "
+    "arrival, not in a later sweep. The scrub is purely per-document, "
+    "so the streamed union equals the one-shot batch result and u45's "
+    "full DuckDB oracle (planted-PII replay + redacted-text md5) "
+    "hash-checks the REAL AvailableNow stream end to end.",
+    tags=("streaming", "pii", "hygiene", "llm-pipeline"),
+)
+def v05_streaming_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.streaming.ingest import (
+        run_streaming_pii_gate,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return run_streaming_pii_gate(spark, docs, n_batches=3)

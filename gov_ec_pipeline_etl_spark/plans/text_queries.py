@@ -588,6 +588,22 @@ _BM25_W = (
 def u27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    scores = _bm25_scores(spark, sf_dir)
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "rnk", "score_r")
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scores for the 5 standard query docs against the corpus —
+    (query_id, doc_id, score_r), rounded BEFORE any ranking (u27's
+    cross-engine rank discipline). Shared by u27 (lexical top-k) and
+    u47 (hybrid RRF fusion)."""
     d = T(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     toks = d.select("doc_id", F.split(norm, " ").alias("l"))
@@ -620,7 +636,7 @@ def u27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # canonical-order fold (ORDER BY tok) — same cross-engine ulp
     # discipline as the ADC sum; query term sets are ≤8 elements
-    scores = weights.groupBy("query_id", "doc_id").agg(
+    return weights.groupBy("query_id", "doc_id").agg(
         F.round(
             F.aggregate(
                 F.transform(
@@ -633,11 +649,145 @@ def u27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("score_r")
     )
-    w_rank = Window.partitionBy("query_id").orderBy(
+
+
+# u47's oracle: the full BM25 replay (u27's CTE chain with the query
+# doc itself excluded) fused with s01's exact-cosine replay via
+# reciprocal-rank fusion over the two top-20 lists.
+_RRF_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+      FROM documents
+    ),
+    term_rows AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+    dl AS (SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM term_rows GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(l[1:8]) AS tok
+      FROM toks WHERE doc_id < 5
+    ),
+    weights AS (
+      SELECT q.query_id, t.doc_id, q.tok,
+             {_BM25_W.format(n='s.n', avgdl='s.avgdl')} AS w
+      FROM qterms q
+      JOIN tf t ON t.tok = q.tok AND t.doc_id <> q.query_id
+      JOIN df f ON f.tok = t.tok
+      JOIN dl ON dl.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    scores AS (
+      SELECT query_id, doc_id,
+             ROUND(list_sum(list(w ORDER BY tok)), 6) AS score_r
+      FROM weights GROUP BY query_id, doc_id
+    ),
+    lex20 AS (
+      SELECT query_id, doc_id, lex_rnk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY score_r DESC, doc_id
+               ) AS lex_rnk
+        FROM scores
+      ) WHERE lex_rnk <= 20
+    ),
+    vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+      FROM embeddings
+    ),
+    cos AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+             list_dot_product(a.emb_d, b.emb_d)
+             / (sqrt(list_dot_product(a.emb_d, a.emb_d))
+                * sqrt(list_dot_product(b.emb_d, b.emb_d))) AS cos
+      FROM vecs a, vecs b
+      WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id
+    ),
+    den20 AS (
+      SELECT query_id, doc_id, den_rnk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, doc_id
+               ) AS den_rnk
+        FROM cos
+      ) WHERE den_rnk <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + l.lex_rnk), 0)
+                   + COALESCE(1.0 / (60 + d.den_rnk), 0), 6) AS rrf
+      FROM lex20 l
+      FULL OUTER JOIN den20 d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk, rrf FROM (
+      SELECT query_id, doc_id, rrf,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id
+             ) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10
+"""
+
+
+@register(
+    "u47_rrf_hybrid",
+    oracle=_RRF_ORACLE,
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "2009, the standard sparse+dense fusion): for the 5 query docs, "
+    "BM25 (u27's scorer, self excluded) and exact embedding cosine "
+    "(s01's kernel, doc_id aligns with vec_id) each produce a top-20 "
+    "list; RRF(k=60) = sum of 1/(60+rank) over the lists a doc appears "
+    "in, fused by a full outer join and re-ranked to a top-10. Both "
+    "rank inputs are integers, so the fused score is exact "
+    "cross-engine (rounded to 6dp before ranking, ties by doc_id). "
+    "Scale shape: the lexical side is u27's inverted-index aggregates; "
+    "the dense side broadcasts 5 query vectors over one corpus scan; "
+    "fusion joins two k-bounded lists — driver-scale, not data-scale.",
+    tags=("text", "retrieval", "similarity", "hybrid", "llm-pipeline"),
+)
+def u47_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.operators.similarity import cosine_topk
+    from gov_ec_pipeline_etl_spark.plans.util import T as _T
+
+    lex_scores = _bm25_scores(spark, sf_dir).where(
+        F.col("doc_id") != F.col("query_id")
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
         F.col("score_r").desc(), F.col("doc_id")
     )
+    lex20 = (
+        lex_scores.withColumn("lex_rnk", F.row_number().over(w_lex))
+        .where(F.col("lex_rnk") <= 20)
+        .select("query_id", "doc_id", "lex_rnk")
+    )
+    emb = _T(spark, sf_dir, "embeddings")
+    den20 = cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("den_rnk")
+    )
+    fused = lex20.join(den20, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.col("lex_rnk") + 60), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.col("den_rnk") + 60), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w_rrf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
     return (
-        scores.withColumn("rnk", F.row_number().over(w_rank))
+        fused.withColumn("rnk", F.row_number().over(w_rrf).cast("bigint"))
         .where(F.col("rnk") <= 10)
-        .select("query_id", "doc_id", "rnk", "score_r")
+        .select("query_id", "doc_id", "rnk", "rrf")
     )

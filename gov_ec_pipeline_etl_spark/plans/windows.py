@@ -271,3 +271,110 @@ def w02_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "w07_ewma_smoothing",
+    oracle="""
+        SELECT user_id, event_id,
+               ROUND(list_reduce(
+                 list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 31 PRECEDING AND CURRENT ROW
+                 ),
+                 (acc, x) -> acc * 0.7 + x * 0.3
+               ), 6) AS ewma_r
+        FROM events
+    """,
+    doc="Per-user exponential moving average (alpha=0.3) of event "
+    "values — the decay-weighted smoothing primitive a monitoring tier "
+    "runs over metric streams. The recursion y = 0.7*y + 0.3*v is "
+    "evaluated as an ORDERED FOLD over the window frame (seed = first "
+    "element), so both engines execute the identical sequence of "
+    "multiply-adds — bit-identical doubles, no pow() (libm pow is not "
+    "cross-engine ulp-stable). The frame is bounded at 32 rows "
+    "(weight 0.7^31 < 2e-5 — the definition here, and the bound that "
+    "keeps per-row state constant at 100 TB instead of materializing "
+    "each user's full history per row).",
+    tags=("window", "timeseries", "monitoring"),
+)
+def w07_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-31, Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    witharr = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", arr.alias("arr")
+    )
+    ewma = F.aggregate(
+        F.slice(
+            F.col("arr"), F.lit(2), F.greatest(F.size("arr") - 1, F.lit(0))
+        ),
+        F.element_at("arr", 1),
+        lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+    )
+    return witharr.select(
+        "user_id", "event_id", F.round(ewma, 6).alias("ewma_r")
+    )
+
+
+@register(
+    "x54_winsorize",
+    oracle="""
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               ROUND(lo, 6) AS lo_r, ROUND(hi, 6) AS hi_r,
+               CAST(SUM(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN e.value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               ROUND(AVG(LEAST(GREATEST(e.value, lo), hi)), 6) AS avg_clip_r
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type, lo, hi
+    """,
+    doc="Per-group percentile winsorization (p05/p95 clip) — the "
+    "outlier-robust feature-normalization pass. Exact linearly "
+    "interpolated percentiles (Spark `percentile` == DuckDB "
+    "quantile_cont: both index p*(n-1)); a clip boundary is either "
+    "exactly a data value (integer index or tied neighbors) or "
+    "strictly between two adjacent sorted values, so ulp jitter in the "
+    "interpolation can never flip a comparison against a data value — "
+    "the clipped counts are exact cross-engine. Scale shape: one "
+    "aggregate for the 5-row bounds table (exact percentile needs the "
+    "per-group sort; at 100 TB swap in approx_percentile with the same "
+    "plan), broadcast back over one scan, one final aggregate.",
+    tags=("aggregation", "statistics", "quality"),
+)
+def x54_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.round(F.avg(clipped), 6).alias("avg_clip_r"),
+        )
+        .select(
+            "event_type",
+            F.round("lo", 6).alias("lo_r"),
+            F.round("hi", 6).alias("hi_r"),
+            "n_below",
+            "n_above",
+            "avg_clip_r",
+        )
+    )

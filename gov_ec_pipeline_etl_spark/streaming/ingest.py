@@ -184,3 +184,43 @@ def run_streaming_bpe_meter(
     return spark.read.schema(
         "id bigint, source string, n_syms bigint, n_toks bigint"
     ).parquet(out)
+
+
+def run_streaming_pii_gate(
+    spark: SparkSession, docs: DataFrame, n_batches: int = 3
+) -> DataFrame:
+    """Stream ``docs`` in ``n_batches`` micro-batches through the PII
+    scrub (``operators.hygiene.pii_scrub``); each foreachBatch counts
+    and redacts its batch and appends the per-document scrub row. The
+    scrub is purely per-document regex work — no cross-doc state — so
+    the streamed union equals the one-shot batch result exactly and
+    u45's full DuckDB oracle hash-checks the stream end to end.
+
+    This is the ingest-time deployment compliance pipelines actually
+    run: PII must be masked BEFORE a document is ever persisted to the
+    corpus store, not patched in a later sweep. At cluster scale the
+    same loop runs unbounded on a Kafka/file source."""
+    from gov_ec_pipeline_etl_spark.operators.hygiene import pii_scrub
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"pii_gate_{run}")
+    staging, out, ckpt = f"{base}/docs", f"{base}/out", f"{base}/ckpt"
+    docs.repartition(n_batches).write.mode("overwrite").parquet(staging)
+
+    def scrub_batch(batch: DataFrame, _batch_id: int) -> None:
+        pii_scrub(batch).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(scrub_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "doc_id bigint, n_email bigint, n_phone bigint, n_ip bigint, "
+        "redacted_md5 string"
+    ).parquet(out)
