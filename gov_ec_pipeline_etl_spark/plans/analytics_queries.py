@@ -225,3 +225,183 @@ def u49_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE body: push
+    r/deg along edges, gather at dst, damp, ROUND(…, 12) so the
+    order-dependent ulp of the parallel SUM can never reach the 9dp
+    the final output is compared at."""
+    return f"""{out} AS (
+          SELECT deg.node, deg.d, n.n,
+                 ROUND(0.15 / n.n + 0.85 * SUM({prev}.r / {prev}.d), 12) AS r
+          FROM e
+          JOIN {prev} ON {prev}.node = e.src
+          JOIN deg ON deg.node = e.dst
+          CROSS JOIN n
+          GROUP BY deg.node, deg.d, n.n
+        )"""
+
+
+@register(
+    "x58_pagerank",
+    oracle=f"""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        e AS (
+          SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+          UNION ALL
+          SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+        ),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        r0 AS (
+          SELECT deg.node, deg.d, n.n, 1.0 / n.n AS r
+          FROM deg CROSS JOIN n
+        ),
+        {_pr_iter_sql('r0', 'r1')},
+        {_pr_iter_sql('r1', 'r2')},
+        {_pr_iter_sql('r2', 'r3')}
+        SELECT node, CAST(rnk AS BIGINT) AS rnk, ROUND(r, 9) AS pr_r
+        FROM (
+          SELECT node, r,
+                 ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rnk
+          FROM r3
+        ) WHERE rnk <= 20
+    """,
+    doc="PageRank (damping 0.85, 3 unrolled iterations) over the "
+    "customer–supplier bipartite graph (distinct trade pairs from "
+    "orders ⋈ lineitem, undirected): the iterative graph-centrality "
+    "pattern beyond d06's label propagation, each iteration ONE "
+    "edges ⋈ ranks join + dst aggregate — the exact shape Pregel-style "
+    "systems distribute, here left to Catalyst/AQE with the rank table "
+    "re-partitioned by the same node key every round. Every node has "
+    "degree >= 1 by construction (edges define the node set), so no "
+    "dangling-mass term. Ranks are ROUND(…, 12) per iteration (the "
+    "parallel SUM's ulp stays below the quantum) and compared at 9dp; "
+    "top-20 by final rank. At 100 TB the per-iteration shuffle is "
+    "edge-partitioned and the rank table is node-scale.",
+    tags=("graph", "iterative", "analytics"),
+)
+def x58_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
+        "src", "node"
+    )
+    n_df = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    r = deg.crossJoin(F.broadcast(n_df)).select(
+        "node", "d", "n", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(3):
+        contribs = (
+            e.join(r, e["src"] == r["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("gathered"))
+        )
+        r = (
+            deg.join(contribs, deg["node"] == contribs["dst"])
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                "d",
+                "n",
+                F.round(
+                    0.15 / F.col("n") + 0.85 * F.col("gathered"), 12
+                ).alias("r"),
+            )
+        )
+    # global top-20 as a distributed TakeOrdered (per-partition partial
+    # top-k, no single-partition sort of the node table); the ranking
+    # window then runs over just those 20 rows
+    top = r.orderBy(F.col("r").desc(), "node").limit(20)
+    w = Window.orderBy(F.col("r").desc(), "node")
+    return top.select(
+        "node",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.round("r", 9).alias("pr_r"),
+    )
+
+
+# (column, is_numeric) — the profile targets; timestamps and varchars
+# get NULL numeric bounds so the output schema is uniform.
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, num in _PROFILE_COLS:
+        mn = f"ROUND(MIN({col}), 6)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"ROUND(MAX({col}), 6)" if num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{col}' AS col_name,"
+            f" CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,"
+            f" CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_num_r, {mx} AS max_num_r FROM orders"
+        )
+    return "\n        UNION ALL ".join(parts)
+
+
+@register(
+    "u50_table_profile",
+    oracle=_profile_oracle(),
+    doc="One-pass table profiler (the engine's SUMMARIZE/describe "
+    "face): per column its null count, EXACT distinct count, and "
+    "numeric min/max — the data-quality snapshot every ingest runs "
+    "before accepting a source. All metrics ride ONE aggregation over "
+    "one scan (Spark plans the multi-distinct via expand — the "
+    "documented cost of exactness; approx_count_distinct is the 100 TB "
+    "swap-in, already exercised by q21b) and the per-column rows "
+    "explode from the single metric row — output is column-count-"
+    "scale, not data-scale.",
+    tags=("profiling", "aggregation", "quality"),
+)
+def u50_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T(spark, sf_dir, "orders")
+    aggs = []
+    for col, num in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias(f"nn_{col}"),
+            F.count_distinct(F.col(col)).cast("bigint").alias(f"nd_{col}"),
+            (F.round(F.min(col), 6) if num else F.lit(None).cast("double")).alias(
+                f"mn_{col}"
+            ),
+            (F.round(F.max(col), 6) if num else F.lit(None).cast("double")).alias(
+                f"mx_{col}"
+            ),
+        ]
+    one = t.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col(f"nn_{col}").alias("n_null"),
+                F.col(f"nd_{col}").alias("n_distinct"),
+                F.col(f"mn_{col}").alias("min_num_r"),
+                F.col(f"mx_{col}").alias("max_num_r"),
+            )
+            for col, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
