@@ -2239,3 +2239,110 @@ def u44_xent_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     return xent_terciles(docs, "doc_id", "text")
+
+
+@register(
+    "u51_cms_merge",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+          FROM documents
+        ),
+        seeded AS (
+          SELECT doc_id, token, s,
+                 {portable_hash64_sql("token", 0)} * (s + 1) % 1024 AS bucket
+          FROM toks, UNNEST(range(0, 4)) AS u(s)
+        ),
+        cm_a AS (
+          SELECT s, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM seeded
+          WHERE doc_id % 2 = 0 GROUP BY s, bucket
+        ),
+        cm_b AS (
+          SELECT s, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM seeded
+          WHERE doc_id % 2 = 1 GROUP BY s, bucket
+        ),
+        merged AS (
+          SELECT s, bucket, CAST(SUM(n) AS BIGINT) AS n FROM (
+            SELECT * FROM cm_a UNION ALL SELECT * FROM cm_b
+          ) GROUP BY s, bucket
+        ),
+        cm_full AS (
+          SELECT s, bucket, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seeded GROUP BY s, bucket
+        ),
+        exact AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+          FROM toks GROUP BY token
+        ),
+        top20 AS (
+          SELECT token, exact_n FROM exact
+          ORDER BY exact_n DESC, token LIMIT 20
+        ),
+        probes AS (
+          SELECT t.token, t.exact_n, u.s,
+                 {portable_hash64_sql("t.token", 0)} * (u.s + 1) % 1024 AS bucket
+          FROM top20 t, UNNEST(range(0, 4)) AS u(s)
+        )
+        SELECT p.token, p.exact_n,
+               MIN(m.n) AS merged_estimate,
+               MIN(m.n) = MIN(f.n) AS merge_exact
+        FROM probes p
+        JOIN merged m ON m.s = p.s AND m.bucket = p.bucket
+        JOIN cm_full f ON f.s = p.s AND f.bucket = p.bucket
+        GROUP BY p.token, p.exact_n
+    """,
+    doc="Count-Min sketch MERGE identity (the mergeable-summaries "
+    "property that makes sketches work distributed): the corpus is "
+    "split into two halves, each half builds its own 4x1024 counter "
+    "grid (w06's machinery), the grids merge by elementwise ADD, and "
+    "the merged sketch's estimate for every exact-top-20 token is "
+    "asserted IDENTICAL to the single-pass full-corpus sketch — "
+    "integer counters make the identity exact, and it is precisely why "
+    "per-executor / per-micro-batch sketches can be built independently "
+    "and combined at 100 TB (or streamed: each foreachBatch adds its "
+    "grid). Both grids, the merge, and the probes are exact SQL, so "
+    "the distributed-ingest algebra itself is hash-verified.",
+    tags=("sketch", "agg", "merge", "llm-pipeline"),
+)
+def u51_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64
+
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s")
+    h = portable_hash64(F.col("token"), 0)
+    bucket = (h * (F.col("s") + 1) % 1024).alias("bucket")
+    seeded = toks.select("doc_id", "token", seeds).select(
+        "doc_id", "token", "s", bucket
+    )
+
+    def grid(side: DataFrame) -> DataFrame:
+        return side.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    cm_a = grid(seeded.where(F.col("doc_id") % 2 == 0))
+    cm_b = grid(seeded.where(F.col("doc_id") % 2 == 1))
+    merged = (
+        cm_a.unionByName(cm_b)
+        .groupBy("s", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    cm_full = grid(seeded)
+
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top20 = exact.orderBy(F.col("exact_n").desc(), F.col("token")).limit(20)
+    probes = top20.select("token", "exact_n", seeds).select(
+        "token", "exact_n", "s", bucket
+    )
+    return (
+        probes.join(F.broadcast(merged), ["s", "bucket"])
+        .join(
+            F.broadcast(cm_full.withColumnRenamed("n", "n_full")),
+            ["s", "bucket"],
+        )
+        .groupBy("token", "exact_n")
+        .agg(
+            F.min("n").alias("merged_estimate"),
+            (F.min("n") == F.min("n_full")).alias("merge_exact"),
+        )
+    )
