@@ -313,6 +313,17 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("sf_dir", help="directory holding documents.parquet")
     pc.add_argument("out", help="output parquet path (id, source, disposition)")
 
+    psb = sub.add_parser(
+        "scrub",
+        help="PII-scrub a corpus parquet (detect + redact emails / "
+        "phones / IPv4s), write the redacted corpus + print a JSON "
+        "summary",
+    )
+    psb.add_argument("docs", help="input parquet with id + text columns")
+    psb.add_argument("out", help="output parquet (id, counts, redacted text)")
+    psb.add_argument("--id-col", default="doc_id")
+    psb.add_argument("--text-col", default="text")
+
     # reference get_status {object|compose}: pull any object over HTTP
     # with the retrying session and an atomic tmp-write (get_status.py:
     # 39-60 — download_object + tmp + rename)
@@ -406,6 +417,38 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "bpe":
         return _bpe_cmd(args)
+
+    if args.cmd == "scrub":
+        import pyspark.sql.functions as F
+
+        from gov_ec_pipeline_etl_spark.operators.hygiene import pii_scrub
+        from gov_ec_pipeline_etl_spark.session import get_spark
+
+        spark = get_spark("gov-ec-pipeline-etl-scrub")
+        df = spark.read.parquet(args.docs)
+        pii_scrub(df, args.id_col, args.text_col, emit_text=True).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        # summarize from the written output so the numbers describe
+        # what actually landed on disk
+        row = (
+            spark.read.parquet(args.out)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    (
+                        (F.col("n_email") + F.col("n_phone") + F.col("n_ip"))
+                        > 0
+                    ).cast("int")
+                ).alias("docs_with_pii"),
+                F.sum("n_email").alias("emails"),
+                F.sum("n_phone").alias("phones"),
+                F.sum("n_ip").alias("ips"),
+            )
+            .collect()[0]
+        )
+        print(json.dumps({"out": args.out, **row.asDict()}, sort_keys=True))
+        return 0
 
     if args.cmd == "curate":
         from gov_ec_pipeline_etl_spark.caching import unpersist_inputs

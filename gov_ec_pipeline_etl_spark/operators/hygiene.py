@@ -66,31 +66,40 @@ def plant_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def pii_scrub(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emit_text: bool = False,
 ) -> DataFrame:
-    """Detect and redact emails / phone numbers / IPv4 addresses.
+    """Detect and redact emails / phone numbers / IPv4 addresses in
+    ``text_col`` AS GIVEN (test queries plant positives beforehand via
+    ``plant_pii``; production corpora are scrubbed as-is).
 
     Counts are taken on the raw text BEFORE redaction (each pattern
     independent); redaction replaces matches in a fixed order
     (email → phone → ip) whose placeholders cannot re-match a later
     pattern. Output: (doc_id, n_email, n_phone, n_ip, redacted_md5) —
-    the md5 proves the redacted string is byte-identical cross-engine.
+    the md5 proves the redacted string is byte-identical cross-engine;
+    ``emit_text`` adds the redacted text itself (the CLI/write path).
     Purely per-row expression work: zero shuffles, zero Python."""
-    aug = plant_pii(df, id_col, text_col)
+    raw = F.col(text_col)
     redacted = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
         ),
         IP_RE,
         "<IP>",
     )
-    return df.select(
+    cols = [
         F.col(id_col),
-        F.regexp_count(aug, F.lit(EMAIL_RE)).cast("bigint").alias("n_email"),
-        F.regexp_count(aug, F.lit(PHONE_RE)).cast("bigint").alias("n_phone"),
-        F.regexp_count(aug, F.lit(IP_RE)).cast("bigint").alias("n_ip"),
+        F.regexp_count(raw, F.lit(EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count(raw, F.lit(PHONE_RE)).cast("bigint").alias("n_phone"),
+        F.regexp_count(raw, F.lit(IP_RE)).cast("bigint").alias("n_ip"),
         F.md5(redacted).alias("redacted_md5"),
-    )
+    ]
+    if emit_text:
+        cols.append(redacted.alias("redacted"))
+    return df.select(*cols)
 
 
 def corpus_line_dedup(

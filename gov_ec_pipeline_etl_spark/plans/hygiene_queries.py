@@ -74,7 +74,11 @@ PII_ORACLE = f"""
     tags=("text", "pii", "hygiene", "llm-pipeline"),
 )
 def u45_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pii_scrub(T(spark, sf_dir, "documents").select("doc_id", "text"))
+    from gov_ec_pipeline_etl_spark.operators.hygiene import plant_pii
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select("doc_id", plant_pii(docs).alias("text"))
+    return pii_scrub(planted)
 
 
 LINE_DEDUP_ORACLE = f"""

@@ -288,9 +288,13 @@ from gov_ec_pipeline_etl_spark.plans.hygiene_queries import (
     tags=("streaming", "pii", "hygiene", "llm-pipeline"),
 )
 def v05_streaming_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.hygiene import plant_pii
     from gov_ec_pipeline_etl_spark.streaming.ingest import (
         run_streaming_pii_gate,
     )
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    return run_streaming_pii_gate(spark, docs, n_batches=3)
+    # plant BEFORE staging so the stream scrubs the same bytes the
+    # oracle replays (planting is per-row deterministic)
+    planted = docs.select("doc_id", plant_pii(docs).alias("text"))
+    return run_streaming_pii_gate(spark, planted, n_batches=3)

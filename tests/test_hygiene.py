@@ -13,13 +13,14 @@ from gov_ec_pipeline_etl_spark.operators.hygiene import (
     corpus_line_dedup,
     editdist_verify_pairs,
     pii_scrub,
+    plant_pii,
 )
 
 
 @pytest.fixture(scope="module")
 def pii_df(spark):
     # ids chosen so each planting rule fires alone and 0 fires all three
-    return spark.createDataFrame(
+    base = spark.createDataFrame(
         [
             (0, "alpha beta"),       # %7, %11, %13 all zero → all three
             (7, "gamma delta"),      # email only
@@ -29,6 +30,7 @@ def pii_df(spark):
         ],
         ["doc_id", "text"],
     )
+    return base.select("doc_id", plant_pii(base).alias("text"))
 
 
 def test_pii_counts(pii_df):
@@ -117,3 +119,35 @@ def test_editdist_max_df_cut(spark):
     assert pairs == []  # key df=5 > 3 → cut
     pairs2 = editdist_verify_pairs(docs, variants, max_df=10).collect()
     assert len(pairs2) >= 1
+
+
+def test_pii_scrub_production_path_no_planting(spark):
+    """Without plant_pii the operator scrubs the text AS GIVEN — the
+    CLI/production semantics (planting is test-query-only)."""
+    df = spark.createDataFrame(
+        [(1, "reach me at bob7@mail2.com or 10.1.2.3 thanks")],
+        ["doc_id", "text"],
+    )
+    row = pii_scrub(df, emit_text=True).collect()[0]
+    assert (row.n_email, row.n_phone, row.n_ip) == (1, 0, 1)
+    assert row.redacted == "reach me at <EMAIL> or <IP> thanks"
+
+
+def test_cli_scrub(spark, tmp_path):
+    from gov_ec_pipeline_etl_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "scrubbed")
+    spark.createDataFrame(
+        [
+            (1, "call 555-123-4567 now"),
+            (2, "nothing sensitive"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    rc = main(["scrub", src, out])
+    assert rc == 0
+    back = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert back[1].n_phone == 1
+    assert back[1].redacted == "call <PHONE> now"
+    assert back[2].redacted == "nothing sensitive"

@@ -169,3 +169,43 @@ def test_category_via_broadcast_join_matches_expr(spark):
         r.sexo for r in apply_category_via_join(df, "sexo", mapping_df).collect()
     ]
     assert via_join == via_expr == ["Masculino", "Femenino", "desconocido", None]
+
+
+def test_sessionize_gap_is_strict(spark):
+    """Events exactly 30 min apart stay in ONE session (the cut is a
+    strict > on the gap); 30 min + 1 us opens a new one."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.plans.analytics_queries import (
+        SESSION_GAP_US,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, t0),
+        (1, 11, t0 + dt.timedelta(minutes=30)),          # == gap → same
+        (1, 12, t0 + dt.timedelta(minutes=60, microseconds=1)),  # > gap
+        (2, 20, t0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+
+    # replicate the x55 plan body over an in-memory frame
+    from pyspark.sql import Window
+
+    o = ev.select("user_id", "event_id", F.unix_micros("ts").alias("tsu"))
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    brk = F.when(
+        F.lag("tsu").over(w).isNull()
+        | ((F.col("tsu") - F.lag("tsu").over(w)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    s = o.withColumn(
+        "sid", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per = {
+        (r.user_id, r.sid): r.n
+        for r in s.groupBy("user_id", "sid").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
