@@ -19,10 +19,7 @@ from gov_ec_pipeline_etl_spark.plans.util import T
 
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
-
-@register(
-    "x55_sessionize",
-    oracle=f"""
+SESSIONIZE_ORACLE = f"""
         WITH o AS (
           SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
         ),
@@ -45,7 +42,12 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
                CAST(COUNT(*) AS BIGINT) AS n_events,
                MAX(tsu) - MIN(tsu) AS span_us
         FROM s GROUP BY user_id, sid
-    """,
+    """
+
+
+@register(
+    "x55_sessionize",
+    oracle=SESSIONIZE_ORACLE,
     doc="Gap-based batch sessionization (30-min inactivity cut): the "
     "classic lag-gap flag → running-sum session id, then one per-"
     "session aggregate. The batch complement of st02's streaming "

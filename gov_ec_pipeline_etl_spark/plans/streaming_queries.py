@@ -298,3 +298,33 @@ def v05_streaming_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle replays (planting is per-row deterministic)
     planted = docs.select("doc_id", plant_pii(docs).alias("text"))
     return run_streaming_pii_gate(spark, planted, n_batches=3)
+
+
+from gov_ec_pipeline_etl_spark.plans.analytics_queries import (
+    SESSIONIZE_ORACLE as _V06_ORACLE,
+)
+
+
+@register(
+    "v06_streaming_sessionize",
+    oracle=_V06_ORACLE,
+    doc="Stateful streaming sessionization (applyInPandasWithState): "
+    "events stream in 3 micro-batches of ARBITRARY order and per-user "
+    "state assembles 30-min-gap sessions, re-emitting the session set "
+    "as evidence arrives; the final emission per user is asserted "
+    "equal to x55's batch sessionization by the same DuckDB oracle — "
+    "the out-of-order-robust semantics a real event stream needs "
+    "(batch order is not contractual on a file source). State buffers "
+    "only (ts, event_id) pairs; at cluster scale a watermark delay >= "
+    "the gap makes every session older than watermark−gap FINAL, so "
+    "closed sessions evict via GroupStateTimeout and only the open "
+    "tail stays in state — the bounded-state deployment documented in "
+    "streaming/stateful.py.",
+    tags=("streaming", "stateful", "sessionization", "analytics"),
+)
+def v06_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.streaming.stateful import (
+        run_streaming_sessionize,
+    )
+
+    return run_streaming_sessionize(spark, sf_dir, n_chunks=3)

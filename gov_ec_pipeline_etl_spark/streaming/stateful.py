@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -126,4 +127,122 @@ def run_user_counters(
             F.round("sum_value_raw", 2).alias("sum_value"),
             "last_ts_us",
         )
+    )
+
+
+# --- stateful streaming sessionization -------------------------------
+# Per-user session assembly with arbitrary-order arrival: micro-batches
+# may deliver a user's events in any order (file-source batch order is
+# not contractual), so the state buffers the user's (ts, event_id)
+# pairs and the session set is recomputed per batch — the emitted rows
+# converge to the batch sessionization regardless of batch order. At
+# cluster scale the buffer does NOT grow unboundedly: with a watermark
+# delay W >= the session gap, every session whose last event is older
+# than (watermark - gap) is final — it can be emitted and its events
+# evicted via GroupStateTimeout; only the open tail stays in state.
+# The finite replay here keeps NoTimeout and proves exact equality
+# with the batch plan (x55's oracle) instead.
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("tsus", ArrayType(LongType())),
+        StructField("eids", ArrayType(LongType())),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("span_us", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+SESSION_GAP_US = 1_800_000_000  # 30 min — keep in sync with x55
+
+
+def _update_user_sessions(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    tsus, eids = state.get if state.exists else ([], [])
+    tsus, eids = list(tsus), list(eids)
+    for pdf in batches:
+        tsus.extend(
+            int(x)
+            for x in pdf["ts"].astype("datetime64[us]").astype("int64")
+        )
+        eids.extend(int(x) for x in pdf["event_id"])
+    order = sorted(range(len(tsus)), key=lambda i: (tsus[i], eids[i]))
+    tsus = [tsus[i] for i in order]
+    eids = [eids[i] for i in order]
+    state.update((tsus, eids))
+    sessions: list[tuple[int, int, int]] = []  # (sid, n, span)
+    sid, start, last, n = 0, None, None, 0
+    for t in tsus:
+        if last is None or t - last > SESSION_GAP_US:
+            if last is not None:
+                sessions.append((sid, n, last - start))
+            sid, start, n = sid + 1, t, 0
+        n += 1
+        last = t
+    if last is not None:
+        sessions.append((sid, n, last - start))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_id": [s[0] for s in sessions],
+            "n_events": [s[1] for s in sessions],
+            "span_us": [s[2] for s in sessions],
+            "n_seen": [len(tsus)] * len(sessions),
+        }
+    )
+
+
+def run_streaming_sessionize(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Stream the events table as ``n_chunks`` micro-batches through
+    the stateful session assembler; return the FINAL session set per
+    user (the emission where that user had seen all its events)."""
+    staging = os.path.join(
+        tempfile.gettempdir(), f"events_sess_{uuid.uuid4().hex[:8]}"
+    )
+    events = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    # arbitrary split — the operator is batch-order robust by design
+    events.repartition(n_chunks).write.mode("overwrite").parquet(staging)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_sessions,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    all_rows = spark.table(name)
+    w = Window.partitionBy("user_id")
+    return (
+        all_rows.withColumn("max_seen", F.max("n_seen").over(w))
+        .where(F.col("n_seen") == F.col("max_seen"))
+        .select("user_id", "session_id", "n_events", "span_us")
+        .distinct()
     )
