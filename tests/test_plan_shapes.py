@@ -280,3 +280,37 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_pii_scrub_is_map_only(spark):
+    """u45 is pure per-row regex work: no exchange, no Python node."""
+    plan = _plan(spark, "u45_pii_scrub")
+    assert "Exchange" not in plan, plan[:800]
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_line_dedup_aggregates_not_windows(spark):
+    """u46's keep-first rule must stay a min-struct AGGREGATE: a
+    regression to a per-line row_number would put a Window (with a
+    per-key sort) on the hot boilerplate lines."""
+    plan = _plan(spark, "u46_line_dedup")
+    assert "Window" not in plan, plan[:800]
+    # explode → line-stats agg (+ join) → doc reassembly: exchange
+    # budget stays small (broadcast of the stats side at smoke scale)
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_sessionize_single_shuffle(spark):
+    """x55's windows and final aggregate all share the user_id hash
+    partitioning — exactly ONE exchange."""
+    plan = _plan(spark, "x55_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_pagerank_topk_not_global_window(spark):
+    """x58's final top-20 is a distributed TakeOrdered; a global
+    ranking Window over the node table is the regression."""
+    plan = _plan(spark, "x58_pagerank")
+    assert "TakeOrderedAndProject" in plan
