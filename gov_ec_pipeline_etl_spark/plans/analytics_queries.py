@@ -19,6 +19,23 @@ from gov_ec_pipeline_etl_spark.plans.util import T
 
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
+
+def sessionized_events(o: DataFrame) -> DataFrame:
+    """Attach gap-cut session ids: input (user_id, event_id, tsu) →
+    + sid. The lag-gap flag uses a STRICT > on the gap (events exactly
+    SESSION_GAP_US apart share a session). Shared by x55, its boundary
+    unit test, and anything else sessionizing an event frame."""
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    brk = F.when(
+        F.lag("tsu").over(w).isNull()
+        | ((F.col("tsu") - F.lag("tsu").over(w)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    return o.withColumn(
+        "sid", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+
 SESSIONIZE_ORACLE = f"""
         WITH o AS (
           SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
@@ -61,13 +78,7 @@ def x55_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("tsu")
     )
-    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-    brk = F.when(
-        F.lag("tsu").over(w).isNull()
-        | ((F.col("tsu") - F.lag("tsu").over(w)) > SESSION_GAP_US),
-        1,
-    ).otherwise(0)
-    s = o.withColumn("sid", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    s = sessionized_events(o)
     return s.groupBy("user_id", "sid").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("tsu") - F.min("tsu")).alias("span_us"),

@@ -2307,15 +2307,25 @@ def u44_xent_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u51_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64
 
+    from gov_ec_pipeline_etl_spark.caching import hold
+
     toks = T(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
     )
     seeds = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s")
     h = portable_hash64(F.col("token"), 0)
     bucket = (h * (F.col("s") + 1) % 1024).alias("bucket")
-    seeded = toks.select("doc_id", "token", seeds).select(
-        "doc_id", "token", "s", bucket
+    # the tokenize + 4-seed explode + md5-hash pass is the expensive
+    # leaf and FIVE consumers need it (two half grids, the full grid,
+    # the exact counts, the probes) — materialize it once (count
+    # barrier per the hold() convention) instead of re-hashing the
+    # corpus per consumer
+    seeded = (
+        toks.select("doc_id", "token", seeds)
+        .select("doc_id", "token", "s", bucket)
+        .persist()
     )
+    seeded.count()
 
     def grid(side: DataFrame) -> DataFrame:
         return side.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("n"))
@@ -2329,12 +2339,18 @@ def u51_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cm_full = grid(seeded)
 
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    # seed 0 has exactly one row per original token occurrence, so the
+    # exact counts come off the cached frame too — no second corpus scan
+    exact = (
+        seeded.where(F.col("s") == 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
     top20 = exact.orderBy(F.col("exact_n").desc(), F.col("token")).limit(20)
     probes = top20.select("token", "exact_n", seeds).select(
         "token", "exact_n", "s", bucket
     )
-    return (
+    out = (
         probes.join(F.broadcast(merged), ["s", "bucket"])
         .join(
             F.broadcast(cm_full.withColumnRenamed("n", "n_full")),
@@ -2346,3 +2362,4 @@ def u51_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("n") == F.min("n_full")).alias("merge_exact"),
         )
     )
+    return hold(out, seeded)

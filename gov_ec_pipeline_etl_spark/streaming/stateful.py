@@ -160,7 +160,7 @@ SESSION_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-SESSION_GAP_US = 1_800_000_000  # 30 min — keep in sync with x55
+from gov_ec_pipeline_etl_spark.plans.analytics_queries import SESSION_GAP_US
 
 
 def _update_user_sessions(

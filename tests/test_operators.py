@@ -179,7 +179,7 @@ def test_sessionize_gap_is_strict(spark):
     import pyspark.sql.functions as F
 
     from gov_ec_pipeline_etl_spark.plans.analytics_queries import (
-        SESSION_GAP_US,
+        sessionized_events,
     )
 
     t0 = dt.datetime(2024, 1, 1)
@@ -190,19 +190,9 @@ def test_sessionize_gap_is_strict(spark):
         (2, 20, t0),
     ]
     ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
-
-    # replicate the x55 plan body over an in-memory frame
-    from pyspark.sql import Window
-
-    o = ev.select("user_id", "event_id", F.unix_micros("ts").alias("tsu"))
-    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-    brk = F.when(
-        F.lag("tsu").over(w).isNull()
-        | ((F.col("tsu") - F.lag("tsu").over(w)) > SESSION_GAP_US),
-        1,
-    ).otherwise(0)
-    s = o.withColumn(
-        "sid", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    # the PRODUCTION session-id expression, not a replica
+    s = sessionized_events(
+        ev.select("user_id", "event_id", F.unix_micros("ts").alias("tsu"))
     )
     per = {
         (r.user_id, r.sid): r.n
