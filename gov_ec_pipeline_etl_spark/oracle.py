@@ -20,7 +20,26 @@ from gov_ec_pipeline_etl_spark.tables import TABLES, table_path
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
+    """Fresh in-memory connection with the canonical views registered.
+
+    memory_limit is EXPLICITLY bounded (default 32GB, override via
+    SPARK_GRAFT_DUCKDB_MEM): DuckDB's default is ~80% of host RAM, and
+    on a long full-surface gate its buffer pool legitimately grows
+    through the heavy oracle replays and never shrinks — at sf1 the
+    pool + the Spark driver JVM exceeded physical RAM and the OS
+    OOM-killed the gate on a TRIVIAL late query (round-5 run: exit -9
+    on x57 after 158 greens). Bounded, DuckDB spills to temp instead."""
+    import os as _os
+    import tempfile as _tempfile
+
+    con = duckdb.connect(
+        config={
+            "memory_limit": _os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "32GB"),
+            "temp_directory": _os.path.join(
+                _tempfile.gettempdir(), "duckdb_oracle_spill"
+            ),
+        }
+    )
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"

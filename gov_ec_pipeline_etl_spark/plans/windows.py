@@ -277,13 +277,13 @@ def w02_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w07_ewma_smoothing",
     oracle="""
         SELECT user_id, event_id,
-               ROUND(list_reduce(
+               FLOOR(list_reduce(
                  list(value) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 31 PRECEDING AND CURRENT ROW
                  ),
                  (acc, x) -> acc * 0.7 + x * 0.3
-               ), 6) AS ewma_r
+               ) * 1000000) / 1000000 AS ewma_r
         FROM events
     """,
     doc="Per-user exponential moving average (alpha=0.3) of event "
@@ -292,7 +292,13 @@ def w02_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evaluated as an ORDERED FOLD over the window frame (seed = first "
     "element), so both engines execute the identical sequence of "
     "multiply-adds — bit-identical doubles, no pow() (libm pow is not "
-    "cross-engine ulp-stable). The frame is bounded at 32 rows "
+    "cross-engine ulp-stable). Output quantizes via FLOOR of the "
+    "scaled double, not ROUND: the fold of 2dp inputs through 0.7/0.3 "
+    "produces exact 7-digit decimals ending in 5 — true 6dp ROUND "
+    "boundaries where Spark's decimal-string rounding and DuckDB's "
+    "binary rounding disagree (34 rows per 1M at sf1, caught by the "
+    "round-5 scale gate); floor of the identical double cannot "
+    "diverge. The frame is bounded at 32 rows "
     "(weight 0.7^31 < 2e-5 — the definition here, and the bound that "
     "keeps per-row state constant at 100 TB instead of materializing "
     "each user's full history per row).",
@@ -316,7 +322,9 @@ def w07_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
     )
     return witharr.select(
-        "user_id", "event_id", F.round(ewma, 6).alias("ewma_r")
+        "user_id",
+        "event_id",
+        (F.floor(ewma * 1000000) / 1000000).alias("ewma_r"),
     )
 
 
