@@ -241,18 +241,26 @@ def u49_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pr_iter_sql(prev: str, out: str) -> str:
-    """One unrolled PageRank iteration as a DuckDB CTE body: push
-    r/deg along edges, gather at dst, damp, ROUND(…, 12) so the
-    order-dependent ulp of the parallel SUM can never reach the 9dp
-    the final output is compared at."""
-    return f"""{out} AS (
+    """One unrolled PageRank iteration as TWO DuckDB CTEs: gather
+    (edges ⋈ prev ranks, summed at dst) then damp (keyed join to deg).
+    Kept as two keyed steps deliberately — the single three-way
+    join + aggregate spelling let DuckDB's optimizer pick a join order
+    that cross-multiplied the two node-scale tables before touching
+    edges (the round-5 sf1 gate watched it spill >80 GB and die on
+    disk); every join here shares a key, so no order is quadratic.
+    ROUND(…, 12) keeps the parallel SUM's order-dependent ulp below
+    the 9dp the final output is compared at."""
+    return f"""g_{out} AS (
+          SELECT e.dst AS node, SUM({prev}.r / {prev}.d) AS gathered
+          FROM e JOIN {prev} ON {prev}.node = e.src
+          GROUP BY e.dst
+        ),
+        {out} AS (
           SELECT deg.node, deg.d, n.n,
-                 ROUND(0.15 / n.n + 0.85 * SUM({prev}.r / {prev}.d), 12) AS r
-          FROM e
-          JOIN {prev} ON {prev}.node = e.src
-          JOIN deg ON deg.node = e.dst
+                 ROUND(0.15 / n.n + 0.85 * g.gathered, 12) AS r
+          FROM g_{out} g
+          JOIN deg ON deg.node = g.node
           CROSS JOIN n
-          GROUP BY deg.node, deg.d, n.n
         )"""
 
 
