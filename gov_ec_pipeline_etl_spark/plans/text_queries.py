@@ -791,3 +791,48 @@ def u47_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 10)
         .select("query_id", "doc_id", "rnk", "rrf")
     )
+
+
+@register(
+    "u52_token_entropy",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+          FROM toks GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_toks,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS ent_r
+        FROM counts GROUP BY doc_id
+    """,
+    doc="Per-document Shannon entropy of the token distribution "
+    "(nats), via H = ln(n) − Σ c·ln(c) / n — the lexical-diversity "
+    "quality signal (low entropy = repetitive boilerplate, the same "
+    "failure Gopher's repetition rules catch from the other side; "
+    "u42's correlation matrix is where such signals get audited for "
+    "redundancy). Same cross-engine float discipline as u32's "
+    "cross-entropy: identical ln() inputs, sum-order ulp absorbed by "
+    "the 6dp round. One explode + one (doc, token) aggregate + one "
+    "doc aggregate riding the same doc-keyed partitioning.",
+    tags=("text", "quality", "entropy", "llm-pipeline"),
+)
+def u52_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("ent_r"),
+    )
