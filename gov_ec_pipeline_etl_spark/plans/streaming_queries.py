@@ -328,3 +328,66 @@ def v06_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_sessionize(spark, sf_dir, n_chunks=3)
+
+
+from gov_ec_pipeline_etl_spark.functions.hashing import (
+    portable_hash64_sql as _ph64_sql,
+)
+
+_V07_ORACLE = f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+      FROM documents
+    ),
+    seeded AS (
+      SELECT token, s,
+             {_ph64_sql("token", 0)} * (s + 1) % 1024 AS bucket
+      FROM toks, UNNEST(range(0, 4)) AS u(s)
+    ),
+    cm AS (
+      SELECT s, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seeded GROUP BY s, bucket
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM toks GROUP BY token
+    ),
+    top20 AS (
+      SELECT token, exact_n FROM exact
+      ORDER BY exact_n DESC, token LIMIT 20
+    ),
+    probes AS (
+      SELECT t.token, t.exact_n, u.s,
+             {_ph64_sql("t.token", 0)} * (u.s + 1) % 1024 AS bucket
+      FROM top20 t, UNNEST(range(0, 4)) AS u(s)
+    )
+    SELECT p.token, p.exact_n,
+           MIN(c.n) AS cms_estimate,
+           TRUE AS merge_exact
+    FROM probes p JOIN cm c ON c.s = p.s AND c.bucket = p.bucket
+    GROUP BY p.token, p.exact_n
+"""
+
+
+@register(
+    "v07_streaming_cms_ingest",
+    oracle=_V07_ORACLE,
+    doc="Streaming sketch accretion: documents arrive in 3 micro-"
+    "batches and each foreachBatch builds ITS OWN 4x1024 Count-Min "
+    "grid and appends it to a grid store — u51's mergeable-summaries "
+    "identity deployed as the unbounded-ingest state pattern (per-"
+    "trigger grids are 4096 cells; the store compacts by summation; "
+    "no raw token is retained). The final probe of the SUMMED store "
+    "must equal the single-pass corpus sketch cell-for-cell (integer "
+    "counters), so merge_exact flips on any lost or duplicated batch; "
+    "the oracle replays the single-pass sketch + exact-top-20 probes "
+    "and asserts the claim as a hash-checked boolean (q21b pattern).",
+    tags=("streaming", "sketch", "merge", "llm-pipeline"),
+)
+def v07_streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.streaming.ingest import (
+        run_streaming_cms_ingest,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return run_streaming_cms_ingest(spark, docs, n_batches=3)

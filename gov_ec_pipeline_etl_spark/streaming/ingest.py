@@ -224,3 +224,86 @@ def run_streaming_pii_gate(
         "doc_id bigint, n_email bigint, n_phone bigint, n_ip bigint, "
         "redacted_md5 string"
     ).parquet(out)
+
+
+def run_streaming_cms_ingest(
+    spark: SparkSession, docs: DataFrame, n_batches: int = 3
+) -> DataFrame:
+    """Stream ``docs`` in ``n_batches`` micro-batches; each foreachBatch
+    builds ITS OWN 4x1024 Count-Min grid and appends it to a grid
+    store — the streaming deployment of the mergeable-summaries algebra
+    u51 proves in batch (integer counters: sum of per-batch grids ==
+    single-pass corpus grid, exactly). The final answer reads the store,
+    sums cells, and probes the exact top-20 tokens; ``merge_exact``
+    asserts cell-level equality against a single-pass batch grid, so
+    any lost/duplicated batch flips the output. At cluster scale this
+    is how sketch state accretes on an unbounded stream: per-trigger
+    grids are tiny (4096 cells), the store compacts by summation, and
+    no raw token ever needs to be retained."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cms_ingest_{run}")
+    staging, store, ckpt = f"{base}/docs", f"{base}/grids", f"{base}/ckpt"
+    docs.repartition(n_batches).write.mode("overwrite").parquet(staging)
+
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s")
+
+    def seeded_rows(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+        )
+        h = portable_hash64(F.col("token"), 0)
+        return toks.select("token", seeds).select(
+            "token", "s", (h * (F.col("s") + 1) % 1024).alias("bucket")
+        )
+
+    def grid_batch(batch: DataFrame, _batch_id: int) -> None:
+        (
+            seeded_rows(batch)
+            .groupBy("s", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(grid_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.schema("s int, bucket bigint, n bigint")
+        .parquet(store)
+        .groupBy("s", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    full = seeded_rows(docs).groupBy("s", "bucket").agg(
+        F.count(F.lit(1)).alias("n_full")
+    )
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top20 = exact.orderBy(F.col("exact_n").desc(), F.col("token")).limit(20)
+    h = portable_hash64(F.col("token"), 0)
+    probes = top20.select("token", "exact_n", seeds).select(
+        "token", "exact_n", "s", (h * (F.col("s") + 1) % 1024).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(merged), ["s", "bucket"])
+        .join(F.broadcast(full), ["s", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(
+            F.min("n").alias("cms_estimate"),
+            (F.min("n") == F.min("n_full")).alias("merge_exact"),
+        )
+    )
