@@ -105,3 +105,65 @@ def test_stream_static_enrichment(spark):
     }
     assert got == want
     assert sum(got.values()) == T(spark, sf, "events").count()
+
+
+def test_stateful_sessionize_batch_order_robust():
+    """v06's core claim, pinned without Spark: feeding the per-user
+    state function the SAME events in time order, reverse order, and
+    interleaved order yields identical final session sets (the buffer
+    re-sorts and recomputes per batch)."""
+    import pandas as pd
+
+    from gov_ec_pipeline_etl_spark.plans.analytics_queries import (
+        SESSION_GAP_US,
+    )
+    from gov_ec_pipeline_etl_spark.streaming.stateful import (
+        _update_user_sessions,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    base = 1_700_000_000_000_000  # us
+    gap = SESSION_GAP_US
+    # sessions: [e1, e2] (close), [e3] (after > gap), [e4] (after > gap)
+    events = [
+        (1, base),
+        (2, base + 1_000_000),
+        (3, base + gap + 2_000_000),
+        (4, base + 2 * gap + 10_000_000),
+    ]
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+            }
+        )
+
+    def run(batches):
+        st = FakeState()
+        last = None
+        for b in batches:
+            (last,) = list(_update_user_sessions((7,), iter([pdf(b)]), st))
+        return sorted(
+            zip(last["session_id"], last["n_events"], last["span_us"])
+        )
+
+    in_order = run([events[:2], events[2:3], events[3:]])
+    reversed_order = run([events[3:], events[2:3], events[:2]])
+    interleaved = run([[events[1], events[3]], [events[0], events[2]]])
+    expect = [(1, 2, 1_000_000), (2, 1, 0), (3, 1, 0)]
+    assert in_order == expect
+    assert reversed_order == expect
+    assert interleaved == expect
