@@ -836,3 +836,89 @@ def u52_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
         ).alias("ent_r"),
     )
+
+
+@register(
+    "u53_source_kl",
+    oracle="""
+        WITH toks AS (
+          SELECT source,
+                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents
+        ),
+        per AS (SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c
+                FROM toks GROUP BY source, tok),
+        vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM toks),
+        tot AS (SELECT source, SUM(c) AS n FROM per GROUP BY source),
+        -- add-one smoothing puts every (source, token) on common
+        -- support: p = (c+1)/(n+V), with c = 0 for absent tokens
+        grid AS (
+          SELECT a.source AS src_p, b.source AS src_q, per.tok,
+                 (COALESCE(pa.c, 0) + 1) / (a.n + v.v) AS p,
+                 (COALESCE(pb.c, 0) + 1) / (b.n + v.v) AS q
+          FROM (SELECT DISTINCT tok FROM per) per
+          CROSS JOIN tot a
+          CROSS JOIN tot b
+          CROSS JOIN vocab v
+          LEFT JOIN per pa ON pa.source = a.source AND pa.tok = per.tok
+          LEFT JOIN per pb ON pb.source = b.source AND pb.tok = per.tok
+          WHERE a.source < b.source
+        )
+        SELECT src_p, src_q,
+               ROUND(SUM(p * ln(p / q)), 6) AS kl_pq_r,
+               ROUND(SUM(q * ln(q / p)), 6) AS kl_qp_r
+        FROM grid GROUP BY src_p, src_q
+    """,
+    doc="Pairwise KL divergence between source token distributions "
+    "(add-one smoothed onto the common vocabulary): the mixture-shift "
+    "monitor that complements u21's per-token drift ratios and u42's "
+    "signal correlations — a source whose distribution diverges from "
+    "the blend shows up as a growing KL row before it skews training. "
+    "Both directions emitted (KL is asymmetric). Scale shape: the "
+    "(source, token) aggregate is the only corpus-scale shuffle; the "
+    "grid is |vocab| × source-pairs — vocabulary-scale, built from "
+    "broadcastable marginals. Float discipline: identical smoothed "
+    "ratios into ln(), sum-order ulp absorbed by the 6dp round (u32's "
+    "rule).",
+    tags=("text", "quality", "monitoring", "llm-pipeline"),
+)
+def u53_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    toks = d.select("source", F.explode(F.split(norm, " ")).alias("tok"))
+    per = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    vocab = per.agg(F.count_distinct("tok").cast("double").alias("v"))
+    tot = per.groupBy("source").agg(F.sum("c").alias("n"))
+    toks_d = per.select("tok").distinct()
+    a = tot.select(F.col("source").alias("src_p"), F.col("n").alias("n_p"))
+    b = tot.select(F.col("source").alias("src_q"), F.col("n").alias("n_q"))
+    pa = per.select(
+        F.col("source").alias("src_p"), "tok", F.col("c").alias("c_p")
+    )
+    pb = per.select(
+        F.col("source").alias("src_q"), "tok", F.col("c").alias("c_q")
+    )
+    grid = (
+        toks_d.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .where(F.col("src_p") < F.col("src_q"))
+        .crossJoin(F.broadcast(vocab))
+        .join(pa, ["src_p", "tok"], "left")
+        .join(pb, ["src_q", "tok"], "left")
+        .select(
+            "src_p",
+            "src_q",
+            ((F.coalesce("c_p", F.lit(0.0)) + 1) / (F.col("n_p") + F.col("v"))).alias("p"),
+            ((F.coalesce("c_q", F.lit(0.0)) + 1) / (F.col("n_q") + F.col("v"))).alias("q"),
+        )
+    )
+    return grid.groupBy("src_p", "src_q").agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "kl_pq_r"
+        ),
+        F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias(
+            "kl_qp_r"
+        ),
+    )
