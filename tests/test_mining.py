@@ -1,0 +1,223 @@
+"""Unit tests for the mining tier (u54–u56, x59–x60): interval
+coalescing edge cases, incremental-maintenance algebra, basket-guard
+semantics, HLL union accuracy, and the hierarchical backbone rank."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from gov_ec_pipeline_etl_spark.plans.mining_queries import (
+    coalesce_intervals,
+)
+
+
+def test_interval_islands_containment_nesting(spark):
+    """The running-max (not lag) semantics: a long interval [0, 100)
+    followed by contained [10, 20) and [30, 40) then [90, 150) is ONE
+    island even though consecutive-lag gaps exist; [200, 210) starts a
+    new island; touching intervals ([150 end] vs [150 start]) merge
+    (strict > break)."""
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 100),
+            (1, 10, 20),
+            (1, 30, 40),
+            (1, 90, 150),
+            (1, 150, 160),  # touching: s == running max end -> merges
+            (1, 200, 210),
+            (2, 5, 6),
+        ],
+        ["key", "s", "e"],
+    )
+    out = {
+        (r["key"], r["island"]): (r["island_start_us"], r["island_end_us"], r["n"])
+        for r in coalesce_intervals(iv).collect()
+    }
+    assert out == {
+        (1, 1): (0, 160, 5),
+        (1, 2): (200, 210, 1),
+        (2, 1): (5, 6, 1),
+    }
+
+
+def test_incremental_agg_merge_handles_one_sided_groups(spark):
+    """The full_outer ⊕ path: a group present only in the delta (or
+    only in the base) must still reconcile with the recompute — the
+    coalesce-to-zero algebra, exercised where sf data can't (all six
+    TPC-H cells exist on both sides of the cut)."""
+    from gov_ec_pipeline_etl_spark.plans.mining_queries import (
+        u56_incremental_agg,
+    )
+    import os
+    import tempfile
+
+    rows = [
+        # (returnflag, linestatus, qty, price, shipdate) — group ("A","X")
+        # entirely before the 1997-01-01 cut, ("B","Y") entirely after,
+        # ("C","Z") straddling
+        ("A", "X", 1.0, 10.01, "1995-06-01"),
+        ("A", "X", 2.0, 20.02, "1996-06-01"),
+        ("B", "Y", 3.0, 30.03, "1997-06-01"),
+        ("C", "Z", 4.0, 40.04, "1996-12-31"),
+        ("C", "Z", 5.0, 50.05, "1997-01-01"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "sd"],
+    ).withColumn("l_shipdate", F.col("sd").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as d:
+        df.drop("sd").write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {
+            (r["l_returnflag"], r["l_linestatus"]): r
+            for r in u56_incremental_agg(spark, d).collect()
+        }
+    assert all(r["incremental_matches"] for r in out.values())
+    assert out[("A", "X")]["n_rows"] == 2
+    assert out[("A", "X")]["revenue_cents"] == 3003
+    assert out[("B", "Y")]["sum_qty"] == 3
+    assert out[("C", "Z")]["revenue_cents"] == 9009
+
+
+def test_hll_union_bound_on_synthetic_cardinality(spark):
+    """DataSketches HLL at lgConfigK=12 over 40k distinct ids split
+    into 4 partitions-by-key: per-part sketches union-merged must land
+    within 5% of the true cardinality (the claim u54 oracles), well
+    past sparse mode so the dense estimator is what's being tested."""
+    df = spark.range(40_000).select(
+        (F.col("id") % 4).alias("part"), F.col("id").alias("uid")
+    )
+    sk = df.groupBy("part").agg(F.expr("hll_sketch_agg(uid, 12)").alias("sk"))
+    est = sk.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("e")
+    ).collect()[0]["e"]
+    assert abs(est - 40_000) <= 0.05 * 40_000
+
+
+def test_market_basket_guard_and_handmath(spark):
+    """The basket-size guard drops oversized baskets BEFORE marginals
+    (so they don't skew supports), and confidence/lift match hand
+    math on a 3-basket corpus."""
+    import os
+    import tempfile
+
+    from gov_ec_pipeline_etl_spark.plans.mining_queries import (
+        x59_market_basket,
+    )
+
+    # baskets: o1/o2/o5 {B1,B2}, o3 {B1,B3}, o4 = 65 distinct brands
+    # (over the 64 guard -> dropped entirely); (B1,B2) support 3 passes
+    # the >=3 support floor, (B1,B3) support 1 does not
+    li, parts, pk = [], [], 0
+    baskets = [
+        (1, ["B1", "B2"]),
+        (2, ["B1", "B2"]),
+        (3, ["B1", "B3"]),
+        (4, [f"Z{i:02d}" for i in range(65)]),
+        (5, ["B1", "B2"]),
+    ]
+    for o, brands in baskets:
+        for b in brands:
+            li.append((o, pk))
+            parts.append((pk, b))
+            pk += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(li, ["l_orderkey", "l_partkey"]).write.parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        spark.createDataFrame(parts, ["p_partkey", "p_brand"]).write.parquet(
+            os.path.join(d, "part.parquet")
+        )
+        rows = {
+            (r["brand_a"], r["brand_b"]): r
+            for r in x59_market_basket(spark, d).collect()
+        }
+    # guarded basket 4 dropped: n_orders=4, B1 in 4, B2 in 3, (B1,B2) in 3
+    assert set(rows) == {("B1", "B2")}
+    r = rows[("B1", "B2")]
+    assert r["support"] == 3
+    assert r["confidence"] == 0.75  # 3/4
+    assert r["lift"] == 1.0  # 3*4/(4*3)
+
+
+def test_backbone_hierarchical_rank_equals_global_rank(spark):
+    """x60's bucketed (weight-offset + within-weight row_number) rank
+    must reproduce the plain global ROW_NUMBER(weight DESC, s1, s2)
+    that the oracle runs — on a table with heavy weight ties."""
+    pw = spark.createDataFrame(
+        [(a, b, (a * 7 + b) % 5 + 1) for a in range(1, 30) for b in range(a + 1, 30)],
+        ["s1", "s2", "weight"],
+    )
+    plain = pw.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("weight"), "s1", "s2")),
+    )
+    bn = pw.groupBy("weight").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy(F.desc("weight"))
+    offs = bn.select(
+        "weight",
+        F.coalesce(
+            F.sum("bn").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off"),
+    )
+    win_w = Window.partitionBy("weight").orderBy("s1", "s2")
+    hier = (
+        pw.withColumn("rn", F.row_number().over(win_w))
+        .join(F.broadcast(offs), "weight")
+        .select("s1", "s2", (F.col("off") + F.col("rn")).alias("rk"))
+    )
+    a = {(r["s1"], r["s2"]): r["rk"] for r in plain.collect()}
+    b = {(r["s1"], r["s2"]): r["rk"] for r in hier.collect()}
+    assert a == b
+
+
+def test_scd2_run_collapse_handmath(spark):
+    """SCD2 run detection: A,A,B,A per user -> three versions (the
+    second A run is a NEW version, not merged with the first), open
+    interval sentinel -1 only on the last, n_events counts the run."""
+    import os
+    import tempfile
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "A", 1.0, "{}"),
+        (2, "2024-01-01 01:00:00", 10, "A", 1.0, "{}"),
+        (3, "2024-01-01 02:00:00", 10, "B", 1.0, "{}"),
+        (4, "2024-01-01 03:00:00", 10, "A", 1.0, "{}"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, ["event_id", "ts_s", "user_id", "event_type", "value", "props"]
+        )
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        from gov_ec_pipeline_etl_spark.plans.mining_queries import (
+            x63_scd2_build,
+        )
+
+        out = sorted(
+            (r["version"], r["state"], r["is_current"], r["n_events"])
+            for r in x63_scd2_build(spark, d).collect()
+        )
+    assert out == [(1, "A", False, 2), (2, "B", False, 1), (3, "A", True, 1)]
+
+
+def test_markov_rows_are_stochastic(spark):
+    """Transition probabilities are row-substochastic after 6dp floor
+    quantization (sum in (1-5e-6, 1])."""
+    from tests.conftest import SF_SMOKE
+
+    from gov_ec_pipeline_etl_spark.plans.mining_queries import (
+        x61_markov_transitions,
+    )
+
+    rows = x61_markov_transitions(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["event_type"], 0.0)
+        by_src[r["event_type"]] += r["prob"]
+    for src, tot in by_src.items():
+        assert 1 - 5e-6 < tot <= 1.0 + 1e-12, (src, tot)
