@@ -77,12 +77,19 @@ def u54_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").select("event_type", "user_id")
     # rollup gives per-type AND global rows from one scan + one shuffle;
     # grouping() distinguishes the total row from a (non-occurring)
-    # null event_type
+    # null event_type. Three consumers read the ≤k+1-row result, and a
+    # plain persist() is NOT enough here: union analysis re-IDs the
+    # rollup's virtual grouping attributes (Expand/spark_grouping_id),
+    # which breaks the cache manager's sameResult match for every
+    # branch after the first — each would silently re-scan the corpus
+    # (plain groupBy caches match fine; it is specific to grouping
+    # plans). localCheckpoint severs the lineage, so all branches scan
+    # the materialized k+1-row RDD regardless of plan matching.
     per = ev.rollup("event_type").agg(
         F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
         F.grouping("event_type").alias("g"),
-    )
+    ).localCheckpoint()
     est = F.expr("hll_sketch_estimate(sk)")
     ok = (
         F.abs(est - F.col("exact_users"))
@@ -341,47 +348,45 @@ _BASKET_ORACLE = f"""
     "ORACLE (it is part of the declared semantics, not a silent cap); "
     "TPC-H baskets are ≤7 so it never binds here, but at 100 TB it "
     "bounds per-basket pair fan-out at C(cap,2). Scale shape: the "
-    "brand dimension broadcasts into the basket build; the pair "
-    "self-join reuses the distinct's l_orderkey hash partitioning "
-    "(co-partitioned, no extra exchange); brand marginals (≤25 rows) "
-    "and the scalar order count broadcast back over the 300-row pair "
-    "table. Ratios rounded to 6dp on integer inputs — cross-engine "
-    "exact.",
+    "brand dimension broadcasts into ONE l_orderkey-keyed collect_set "
+    "aggregate, and dedup, the size guard, pair generation (in-row "
+    "double-explode of the guarded set — no orderkey self-join, no "
+    "second distinct), and the item marginals all derive from that "
+    "single exchange; brand marginals (≤25 rows) and the scalar order "
+    "count broadcast back over the 300-row pair table. Ratios "
+    "floor-quantized at 6dp on integer inputs — cross-engine exact.",
     tags=("mining", "basket", "analytics"),
 )
 def x59_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    basket = (
+    # ONE l_orderkey exchange builds per-basket brand sets; dedup, the
+    # size guard, pair generation, AND the item marginals all come off
+    # that single aggregate — no (orderkey, brand)-keyed distinct and
+    # no orderkey self-join (pairs explode in-row from the set, fan-out
+    # ≤ C(guard, 2) per basket by construction)
+    sets = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
+        .where(F.size("brands") <= _MAX_BASKET)
+        .persist()  # count barrier: 4 consumers, 1 computation
     )
-    wsz = Window.partitionBy("l_orderkey")
-    kept = (
-        basket.withColumn("bsz", F.count(F.lit(1)).over(wsz))
-        .where(F.col("bsz") <= _MAX_BASKET)
-        .select("l_orderkey", "p_brand")
-    )
-    n_orders = kept.agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
-    )
-    brand_n = kept.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    sets.count()
+    n_orders = sets.agg(F.count(F.lit(1)).alias("n_orders"))
+    items = sets.select(F.explode("brands").alias("p_brand"))
+    brand_n = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
     pairs = (
-        kept.alias("a")
-        .join(
-            kept.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
-        )
+        sets.select(F.explode("brands").alias("brand_a"), "brands")
+        .select("brand_a", F.explode("brands").alias("brand_b"))
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 3)
     )
-    return (
+    from gov_ec_pipeline_etl_spark.caching import hold
+
+    return hold(
         pairs.join(
             F.broadcast(brand_n).withColumnsRenamed(
                 {"p_brand": "brand_a", "cnt": "cnt_a"}
@@ -414,7 +419,8 @@ def x59_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 1000000
             ).alias("lift"),
-        )
+        ),
+        sets,
     )
 
 

@@ -391,3 +391,42 @@ def v07_streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     return run_streaming_cms_ingest(spark, docs, n_batches=3)
+
+
+_V08_ORACLE = """
+    WITH per AS (
+      SELECT event_type AS scope,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events
+    )
+    SELECT scope, exact_users, TRUE AS within_5pct FROM per
+    UNION ALL SELECT 'ALL_MERGED', exact_users, TRUE FROM tot
+"""
+
+
+@register(
+    "v08_streaming_hll_ingest",
+    oracle=_V08_ORACLE,
+    doc="Streaming HLL accretion: events arrive in 3 micro-batches; "
+    "each foreachBatch appends per-event-type DataSketches HLL "
+    "sketches (binary, ~2 KB) to a sketch store, and the final answer "
+    "hll_union_agg's the store per type plus one global union — u54's "
+    "mergeable algebra as the unbounded-ingest state pattern beside "
+    "v07's Count-Min form. HLL union preserves the ACCURACY BOUND but "
+    "not v07's bit-equality (integer grids sum exactly; HLL register "
+    "paths don't), so the oracled claim is each estimate within 5% of "
+    "the exact distinct count, emitted as hash-checked booleans "
+    "(q21b pattern). No raw user id survives the trigger.",
+    tags=("streaming", "sketch", "hll", "llm-pipeline"),
+)
+def v08_streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.streaming.ingest import (
+        run_streaming_hll_ingest,
+    )
+
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id")
+    return run_streaming_hll_ingest(spark, ev, n_batches=3)

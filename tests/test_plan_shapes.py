@@ -314,3 +314,67 @@ def test_pagerank_topk_not_global_window(spark):
     ranking Window over the node table is the regression."""
     plan = _plan(spark, "x58_pagerank")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_islands_single_shuffle(spark):
+    """u55's two windows and the island aggregate all share the key
+    hash partitioning (HashPartitioning(key) satisfies the (key,
+    island) clustering) — exactly ONE exchange."""
+    plan = _plan(spark, "u55_interval_islands")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+
+
+def test_scd2_single_shuffle(spark):
+    """x63: change-flag window, version window, and the run aggregate
+    ride one user_id partitioning — exactly ONE exchange."""
+    plan = _plan(spark, "x63_scd2_build")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+
+
+def test_time_rollup_is_one_expand_pass(spark):
+    """x62: the three grains come from ONE grouping-sets pass — a
+    single Expand feeding a single shuffled aggregate, not one
+    scan/exchange per grain."""
+    plan = _plan(spark, "x62_time_rollup")
+    assert plan.count("Expand") == 1, plan[:800]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert plan.count("FileScan") == 1
+
+
+def test_market_basket_no_orderkey_self_join(spark):
+    """x59 generates pairs by in-row double-explode of the per-basket
+    set: no orderkey-keyed join anywhere, and at runtime AQE reuses
+    the collect_set aggregate's exchange across the pair/marginal/
+    count consumers (pre-AQE each consumer prints its own copy)."""
+    import re
+
+    from gov_ec_pipeline_etl_spark.plans import all_queries
+
+    from gov_ec_pipeline_etl_spark.caching import unpersist_inputs
+
+    q = all_queries()["x59_market_basket"]
+    df = q.spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    unpersist_inputs(df)
+    assert "SortMergeJoin [l_orderkey" not in plan
+    assert plan.count("Generate explode") >= 2  # pair + marginal explodes
+    # the basket-set aggregate is persisted: every consumer reads an
+    # InMemoryTableScan leaf (whose printed form embeds the build
+    # plan's exchange — the orderkey shuffle executes once regardless)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
+
+
+def test_hll_merge_single_corpus_pass(spark):
+    """u54's consumers read the localCheckpointed ≤k+1-row rollup — the
+    events scan and the rollup shuffle execute exactly once. A plain
+    persist() is insufficient: union analysis re-IDs the rollup's
+    virtual grouping attributes, the cache sameResult match fails for
+    every branch after the first, and each silently re-scans the
+    corpus (this test pins the checkpointed form)."""
+    from gov_ec_pipeline_etl_spark.plans import all_queries
+
+    q = all_queries()["u54_hll_merge"]
+    df = q.spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") >= 3, plan[:1200]
+    assert plan.count("FileScan") == 0, plan[:1200]
