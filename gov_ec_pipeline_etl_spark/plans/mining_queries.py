@@ -71,6 +71,7 @@ _HLL_ORACLE = """
     "per q21b/u49 house rules the oracle checks exact counts + claimed "
     "bounds. Scale shape: ONE corpus scan, ONE rollup shuffle; "
     "everything after operates on n_event_types+1 rows.",
+    bench=True,
     tags=("sketch", "hll", "mergeable", "llm-pipeline"),
 )
 def u54_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +356,7 @@ _BASKET_ORACLE = f"""
     "single exchange; brand marginals (≤25 rows) and the scalar order "
     "count broadcast back over the 300-row pair table. Ratios "
     "floor-quantized at 6dp on integer inputs — cross-engine exact.",
+    bench=True,
     tags=("mining", "basket", "analytics"),
 )
 def x59_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:

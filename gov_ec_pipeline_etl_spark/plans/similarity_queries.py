@@ -807,3 +807,171 @@ def u25_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = T(spark, sf_dir, "embeddings")
     return ivfpq_topk(emb, emb.where(F.col("vec_id") < 10))
+
+
+# ---------------------------------------------------------------------------
+# u57: ranking-quality metrics (nDCG@10 + MRR) for the exact retriever
+# ---------------------------------------------------------------------------
+
+def _dcg_literals() -> tuple[list[str], list[str]]:
+    """Rank discounts 1/log2(r+1) for r=1..10 and their prefix sums as
+    shortest-round-trip decimal literals. Both engines parse these with
+    correctly-rounded strtod, so NO libm log is evaluated in either
+    engine — the one source of cross-engine drift a log-based metric
+    would otherwise have."""
+    import math
+
+    d = [1.0 / math.log2(r + 1) for r in range(1, 11)]
+    pref, acc = [], 0.0
+    for x in d:
+        acc += x
+        pref.append(acc)
+    return [repr(x) for x in d], [repr(x) for x in pref]
+
+
+def _u57_oracle() -> str:
+    disc, pref = _dcg_literals()
+    # fixed-order DCG: rank-pivot columns summed left to right (SUM over
+    # an unordered aggregate would be order-nondeterministic in Spark)
+    rel_cols = " + ".join(
+        f"(MAX(CASE WHEN rnk = {r} THEN rel ELSE 0 END) * {disc[r - 1]})"
+        for r in range(1, 11)
+    )
+    idcg = "CASE LEAST(n_rel, 10) " + " ".join(
+        f"WHEN {i + 1} THEN {pref[i]}" for i in range(10)
+    ) + " ELSE 0.0 END"
+    return f"""
+        WITH vecs AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT b.vec_id AS query_id, b.label AS q_label,
+                 a.vec_id AS neighbor_id, a.label AS n_label,
+                 {_COS_SQL} AS cos
+          FROM vecs a, vecs b
+          WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, q_label, n_label,
+                 CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                 ) AS rnk
+          FROM scored
+        ),
+        nrel AS (
+          SELECT q.vec_id AS query_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_rel
+          FROM vecs q JOIN vecs c
+            ON c.label = q.label AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 5 GROUP BY q.vec_id
+        ),
+        agg AS (
+          SELECT query_id,
+                 {rel_cols} AS dcg,
+                 MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+          FROM ranked WHERE rnk <= 10 GROUP BY query_id
+        )
+        SELECT a.query_id, n.n_rel,
+               FLOOR(a.dcg * 1000000.0 / ({idcg})) / 1000000 AS ndcg10,
+               COALESCE(
+                 FLOOR(1000000.0 / a.first_rel) / 1000000, 0.0
+               ) AS mrr
+        FROM agg a JOIN nrel n USING (query_id)
+    """
+
+
+@register(
+    "u57_ndcg_mrr",
+    oracle=_u57_oracle(),
+    doc="Ranking-quality metrics for the exact retriever: per-probe "
+    "nDCG@10 and MRR of s01's cosine ranking, with relevance = label "
+    "match — completing the retrieval-eval tier (u19/u22/u26 measure "
+    "set recall; this grades ORDER quality with graded-position "
+    "discounts). Cross-engine float discipline: the 1/log2(r+1) "
+    "discounts and their prefix sums are embedded as IDENTICAL "
+    "shortest-round-trip literals on both sides (neither engine "
+    "evaluates a libm log), DCG is a rank-pivoted LEFT-TO-RIGHT "
+    "literal chain (not an order-nondeterministic SUM), and the final "
+    "ratios floor-quantize at 6dp. Scale shape: rides s01's broadcast-"
+    "query kernel + WindowGroupLimit partial top-k; the label-count "
+    "side is one corpus aggregate.",
+    tags=("similarity", "metrics", "llm-pipeline"),
+)
+def u57_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.similarity import cosine_topk
+
+    disc, pref = _dcg_literals()
+    emb = T(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    q = emb.where(F.col("vec_id") < 5)
+    ranked = cosine_topk(
+        q.select("vec_id", "embedding"),
+        emb.select("vec_id", "embedding"),
+        k=10,
+    )
+    rel = (
+        ranked.join(
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            labels.withColumnsRenamed(
+                {"vec_id": "neighbor_id", "label": "n_label"}
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rnk",
+            F.when(F.col("n_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    # fixed-order DCG chain, mirrored literally in the oracle
+    dcg = F.lit(None)
+    for r in range(1, 11):
+        term = F.max(
+            F.when(F.col("rnk") == r, F.col("rel")).otherwise(0)
+        ) * F.lit(float(disc[r - 1]))
+        dcg = term if r == 1 else (dcg + term)
+    agg = rel.where(F.col("rnk") <= 10).groupBy("query_id").agg(
+        dcg.alias("dcg"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+    )
+    n_rel = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+        .join(
+            F.broadcast(
+                emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+            ),
+            F.col("q_label") == F.col("label"),
+        )
+        .select("query_id", (F.col("n_lab") - 1).alias("n_rel"))
+    )
+    idcg = F.lit(0.0)
+    for i in range(10):
+        idcg = F.when(
+            F.least(F.col("n_rel"), F.lit(10)) == i + 1, F.lit(float(pref[i]))
+        ).otherwise(idcg)
+    return (
+        agg.join(F.broadcast(n_rel), "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            (F.floor(F.col("dcg") * F.lit(1000000.0) / idcg) / 1000000)
+            .alias("ndcg10"),
+            F.coalesce(
+                F.floor(F.lit(1000000.0) / F.col("first_rel")) / 1000000,
+                F.lit(0.0),
+            ).alias("mrr"),
+        )
+    )
