@@ -179,6 +179,41 @@ def _index_cmd(args) -> int:
     return 0
 
 
+def _ivm_cmd(args) -> int:
+    """Incremental-aggregate store lifecycle (operators/ivm.py — the
+    operable form of u56's additive-IVM identity)."""
+    from gov_ec_pipeline_etl_spark.operators import ivm
+    from gov_ec_pipeline_etl_spark.session import get_spark
+
+    spark = get_spark("gov-ec-pipeline-etl-ivm")
+    keys = [k for k in args.keys.split(",") if k]
+    sums = dict(kv.split("=", 1) for kv in args.sums.split(",") if kv)
+    if args.action == "init":
+        meta = ivm.init_store(
+            spark, spark.read.parquet(args.data), args.store, keys, sums
+        )
+        print(json.dumps({"initialized": args.store, **meta}))
+        return 0
+    if args.action == "apply":
+        if not args.batch_id:
+            print("ivm apply requires --batch-id", file=sys.stderr)
+            return 2
+        meta = ivm.apply_delta(
+            spark, spark.read.parquet(args.data), args.store, args.batch_id
+        )
+        print(json.dumps(meta))
+        return 0
+    if args.action == "verify":
+        res = ivm.verify_store(
+            spark, spark.read.parquet(args.data), args.store
+        )
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
+    for r in ivm.read_store(spark, args.store).collect():  # show
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def _bpe_cmd(args) -> int:
     """Tokenizer merge-table lifecycle: ``learn`` runs the distributed
     merge learner and stores the ordered merge table; ``apply`` segments
@@ -305,6 +340,24 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("--text-col", default="text")
     pb.add_argument("--limit", type=int, default=10, help="rows printed (apply)")
 
+    pv = sub.add_parser(
+        "ivm",
+        help="incremental aggregate store: init from a base, apply "
+        "deltas idempotently by batch id, verify against a recompute",
+    )
+    pv.add_argument("action", choices=["init", "apply", "verify", "show"])
+    pv.add_argument("store")
+    pv.add_argument("data", nargs="?", help="input parquet (init/apply/verify)")
+    pv.add_argument(
+        "--keys", default="l_returnflag,l_linestatus",
+        help="comma-separated group columns",
+    )
+    pv.add_argument(
+        "--sums", default="sum_qty=l_quantity",
+        help="comma-separated name=source sum measures (bigint-cast)",
+    )
+    pv.add_argument("--batch-id", default=None, help="delta ledger id (apply)")
+
     pc = sub.add_parser(
         "curate",
         help="run the full curation funnel over a corpus dir, write "
@@ -417,6 +470,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "bpe":
         return _bpe_cmd(args)
+
+    if args.cmd == "ivm":
+        return _ivm_cmd(args)
 
     if args.cmd == "scrub":
         import pyspark.sql.functions as F

@@ -221,3 +221,54 @@ def test_markov_rows_are_stochastic(spark):
         by_src[r["event_type"]] += r["prob"]
     for src, tot in by_src.items():
         assert 1 - 5e-6 < tot <= 1.0 + 1e-12, (src, tot)
+
+
+def test_ivm_store_lifecycle(spark, tmp_path):
+    """operators/ivm end-to-end: init from a base split, apply two
+    deltas, verify cell-for-cell against the full recompute; a
+    REPLAYED batch id is a recorded no-op (at-least-once safety), and
+    verify flips to not-ok when the store is behind the corpus."""
+    import pyspark.sql.functions as F2
+
+    from gov_ec_pipeline_etl_spark.operators import ivm
+
+    full = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cut1 = F2.lit("1996-01-01").cast("timestamp")
+    cut2 = F2.lit("1997-06-01").cast("timestamp")
+    base = full.where(F2.col("l_shipdate") < cut1)
+    d1 = full.where((F2.col("l_shipdate") >= cut1) & (F2.col("l_shipdate") < cut2))
+    d2 = full.where(F2.col("l_shipdate") >= cut2)
+
+    store = str(tmp_path / "agg_store")
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = {"sum_qty": "l_quantity"}
+    ivm.init_store(spark, base, store, keys, sums)
+
+    ivm.apply_delta(spark, d1, store, "b1")
+    mid = ivm.verify_store(spark, full, store)
+    assert not mid["ok"]  # d2 not applied yet — verify must catch it
+
+    meta = ivm.apply_delta(spark, d2, store, "b2")
+    assert meta["current"] == 3 and meta["applied"] == ["b1", "b2"]
+    done = ivm.verify_store(spark, full, store)
+    assert done["ok"], done
+
+    # replay: ledgered no-op — same snapshot version, still consistent
+    replay = ivm.apply_delta(spark, d2, store, "b2")
+    assert replay.get("replayed") == "b2" and replay["current"] == 3
+    assert ivm.verify_store(spark, full, store)["ok"]
+
+
+def test_ivm_cli_wiring(spark, tmp_path, capsys):
+    """The cli ivm subcommand drives the same lifecycle."""
+    import json as _json
+
+    from gov_ec_pipeline_etl_spark.cli import main as cli_main
+
+    li = "/root/testdata/sf0.001/lineitem.parquet"
+    store = str(tmp_path / "cli_store")
+    assert cli_main(["ivm", "init", store, li]) == 0
+    assert cli_main(["ivm", "verify", store, li]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    res = _json.loads(out[-1])
+    assert res["ok"] and res["mismatched_cells"] == 0
