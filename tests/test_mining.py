@@ -272,3 +272,65 @@ def test_ivm_cli_wiring(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     res = _json.loads(out[-1])
     assert res["ok"] and res["mismatched_cells"] == 0
+
+
+def test_time_rollup_grain_consistency(spark):
+    """Internal additivity of x62's grains at smoke scale: per event
+    type, the hour cells sum to each day cell, the day cells sum to
+    the total cell — the property that makes the view incrementally
+    refreshable per grain."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+
+    from gov_ec_pipeline_etl_spark.plans.mining_queries import (
+        x62_time_rollup,
+    )
+
+    rows = x62_time_rollup(spark, SF_SMOKE).collect()
+    day_from_hours = defaultdict(int)
+    tot_from_days = defaultdict(int)
+    days, totals = {}, {}
+    for r in rows:
+        if r["grain"] == "hour":
+            day_from_hours[(r["event_type"], r["day_us"])] += r["value_cents"]
+        elif r["grain"] == "day":
+            days[(r["event_type"], r["day_us"])] = r["value_cents"]
+            tot_from_days[r["event_type"]] += r["value_cents"]
+        else:
+            totals[r["event_type"]] = r["value_cents"]
+    assert days == dict(day_from_hours)
+    assert totals == dict(tot_from_days)
+
+
+def test_markov_tiny_sequence_handmath(spark, tmp_path):
+    """x61 on a hand-computed sequence: user 1 A->B->A, user 2 A->B.
+    Pairs: A->B x2, B->A x1; rows are normalized by OUTGOING mass, so
+    P(B|A) = 2/2 = 1.0 and P(A|B) = 1/1 = 1.0."""
+    import os
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "A", 0.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "B", 0.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "A", 0.0, "{}"),
+        (4, "2024-01-01 00:00:00", 2, "A", 0.0, "{}"),
+        (5, "2024-01-01 00:01:00", 2, "B", 0.0, "{}"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, ["event_id", "ts_s", "user_id", "event_type", "value", "props"]
+        )
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    from gov_ec_pipeline_etl_spark.plans.mining_queries import (
+        x61_markov_transitions,
+    )
+
+    out = {
+        (r["event_type"], r["next_type"]): (r["n"], r["prob"])
+        for r in x61_markov_transitions(spark, d).collect()
+    }
+    assert out == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
