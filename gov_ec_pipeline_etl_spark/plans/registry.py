@@ -70,6 +70,7 @@ _QUERY_MODULES = [
     "gov_ec_pipeline_etl_spark.plans.hygiene_queries",
     "gov_ec_pipeline_etl_spark.plans.analytics_queries",
     "gov_ec_pipeline_etl_spark.plans.mining_queries",
+    "gov_ec_pipeline_etl_spark.plans.layout_queries",
 ]
 
 

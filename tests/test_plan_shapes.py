@@ -378,3 +378,34 @@ def test_hll_merge_single_corpus_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ExistingRDD") >= 3, plan[:1200]
     assert plan.count("FileScan") == 0, plan[:1200]
+
+
+def test_weighted_sample_is_distributed_topk(spark):
+    """u58's global k-winner selection is a distributed TakeOrdered —
+    a global ORDER BY materializing a full sort (or a single-partition
+    ranking window over the corpus) is the regression; the ranking
+    window runs on the k survivors only, after the limit."""
+    plan = _plan(spark, "u58_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_trend_regression_moment_shuffles(spark):
+    """u59: the corpus-scale work is the one (event_type, day)
+    aggregate; the moments re-group is day-count-scale. Exactly two
+    exchanges, one file scan, and every moment is a bigint sum (no
+    float accumulation in the aggregate)."""
+    plan = _plan(spark, "u59_trend_regression")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:800]
+    assert plan.count("FileScan") == 1
+    assert "avg(" not in plan  # moments only; closed forms divide once
+
+
+def test_zorder_audit_single_scan_single_agg(spark):
+    """x64: the layout audit is one orders scan (plus the broadcast
+    1-row bounds aggregate) feeding one multi-distinct aggregate —
+    no per-layout re-scan, no join on the fact key."""
+    plan = _plan(spark, "x64_zorder_layout")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:800]
+    assert "SortMergeJoin" not in plan
+    # orders is scanned once for coords, once for the 1-row bounds agg
+    assert plan.count("FileScan") == 2, plan[:800]
