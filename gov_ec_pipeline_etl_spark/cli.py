@@ -135,6 +135,7 @@ def _index_cmd(args) -> int:
                 docs, dd.read_sketch_index(spark, args.index_path),
                 args.id_col, args.text_col,
                 k=meta["k"], threshold=args.threshold,
+                portable=meta["portable"],
             )
         elif kind == "ivf":
             out = sim.ivf_topk(

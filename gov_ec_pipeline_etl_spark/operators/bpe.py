@@ -74,15 +74,24 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def _apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
-    """Substitute the chosen pair in every word via a broadcast 1-row join."""
+    """Substitute the chosen pair in every word via a broadcast 1-row join.
+
+    LEFT nested-loop join, not a crossJoin: once every word type is a
+    single symbol (steps exceeds the learnable merges), the argmax is
+    EMPTY — a crossJoin would annihilate the vocabulary and silently
+    return an empty segmentation map, while the left join keeps the
+    vocab and makes the exhausted step a no-op."""
     pat = F.concat(
         F.lit("("), F.col("merge_left"), F.lit(")("), F.col("merge_right"), F.lit(")")
     )
     rep = F.concat(
         F.lit("("), F.col("merge_left"), F.col("merge_right"), F.lit(")")
     )
-    return vocab.crossJoin(F.broadcast(best)).select(
-        F.replace(F.col("ws"), pat, rep).alias("ws"), "cnt"
+    return vocab.join(F.broadcast(best), F.lit(True), "left").select(
+        F.when(F.col("merge_left").isNull(), F.col("ws"))
+        .otherwise(F.replace(F.col("ws"), pat, rep))
+        .alias("ws"),
+        "cnt",
     )
 
 

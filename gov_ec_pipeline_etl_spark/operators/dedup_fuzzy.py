@@ -798,6 +798,7 @@ def build_sketch_index(
 
 
 def read_sketch_index(spark: SparkSession, path: str) -> DataFrame:
+    recover_index_dir(path + "/sketch")
     return spark.read.schema("id bigint, h60 bigint").parquet(path + "/sketch")
 
 
@@ -838,9 +839,13 @@ def incremental_neardup_against(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    portable: bool = True,
 ) -> DataFrame:
     """Near-dup check of an arrival batch against a STORED corpus sketch
     (the streaming-ingest dedup shape, u12's premise made an API).
+    ``portable`` must match the stored sketch's hash mode (the CLI
+    passes the index meta's recorded flag) — a mismatched hash would
+    produce empty band intersections, i.e. silently zero matches.
 
     Work per batch: shingle+sketch the arrivals, band BOTH sides (band
     keys are cheap min-aggregates over the sketch — the stored table is
@@ -854,7 +859,7 @@ def incremental_neardup_against(
     would double its union size and drive the Jaccard denominator to
     exactly zero. A replayed document instead reports itself as a
     (new_id = corpus_id, jaccard 1.0) match, the honest signal."""
-    sh_new = minhash_sketch(arrivals, id_col, text_col, k)
+    sh_new = minhash_sketch(arrivals, id_col, text_col, k, portable=portable)
     bands_new = minhash_band_keys(sh_new)
     bands_corpus = minhash_band_keys(stored_sketch)
     cand = (
@@ -871,7 +876,7 @@ def incremental_neardup_against(
     )
     sz_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("sz_a"))
     sz_corpus = stored_sketch.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
-    return (
+    out = (
         inter.join(sz_new.withColumnsRenamed({"id": "id_a"}), "id_a")
         .join(sz_corpus.withColumnsRenamed({"id": "id_b"}), "id_b")
         .withColumn(
@@ -885,6 +890,7 @@ def incremental_neardup_against(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+    return hold(out, sh_new)
 
 
 # --- stored n-gram inverted index ----------------------------------------
@@ -1023,14 +1029,24 @@ def compact_index_dir(
     where each ingest batch adds one small file set per touched
     partition and the FILE COUNT (not bytes) becomes the probe
     bottleneck. The rewrite lands in a sibling directory and is
-    promoted with two atomic renames, so a crash leaves either the old
-    or the new layout, never a half-written index. Query results are
-    bit-identical across the compaction (rows are moved, never
-    changed) — lifecycle-tested for all three stored index kinds."""
+    promoted with two atomic renames through a DETERMINISTIC
+    ``<data_dir>.old`` name; a crash between the renames leaves only
+    ``.old``, which ``recover_index_dir`` (called here and by every
+    stored-index reader) restores with one rename — so the index is
+    always recoverable to the old or the new layout, never stranded
+    half-written. Query results are bit-identical across the
+    compaction (rows are moved, never changed) — lifecycle-tested for
+    all three stored index kinds."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
+    recover_index_dir(data_dir)
+    old_dir = data_dir + ".old"
+    if _os.path.exists(old_dir):
+        # leftover from a crash AFTER promote but before cleanup —
+        # data_dir is the new layout; the .old copy is garbage
+        _shutil.rmtree(old_dir, ignore_errors=True)
     reader = spark.read.schema(schema) if schema else spark.read
     current = reader.parquet(data_dir)
     files_before = len(current.inputFiles())
@@ -1050,13 +1066,31 @@ def compact_index_dir(
         )
     else:
         current.coalesce(files_per_partition).write.mode("overwrite").parquet(new_dir)
-    old_dir = f"{data_dir}.old-{_uuid.uuid4().hex[:12]}"
     _os.rename(data_dir, old_dir)
     _os.rename(new_dir, data_dir)
     _shutil.rmtree(old_dir, ignore_errors=True)
     reader = spark.read.schema(schema) if schema else spark.read
     files_after = len(reader.parquet(data_dir).inputFiles())
     return {"files_before": files_before, "files_after": files_after}
+
+
+def recover_index_dir(data_dir: str) -> bool:
+    """Restore an index data directory stranded by a compaction crash.
+
+    ``compact_index_dir`` promotes with ``rename(data, data.old)`` then
+    ``rename(new, data)``; a crash between the two leaves only
+    ``data.old``. Readers and the next compaction call this first: if
+    ``data_dir`` is missing and the deterministic ``.old`` sibling
+    exists, one rename restores the pre-compaction layout (rows are
+    identical either side of a compaction, so recovery loses nothing).
+    Returns True when a recovery was performed."""
+    import os as _os
+
+    old = data_dir + ".old"
+    if not _os.path.exists(data_dir) and _os.path.exists(old):
+        _os.rename(old, data_dir)
+        return True
+    return False
 
 
 _NGRAM_KEPT_SCHEMA = "id bigint, h60 bigint, hb int"
@@ -1078,6 +1112,7 @@ def read_ngram_index(spark: SparkSession, path: str) -> DataFrame:
     max_df — e.g. a uniform closed vocabulary at scale — has no
     discriminative shingles, the cut keeps nothing, and Spark's
     partitioned writer emits no files to infer a schema from."""
+    recover_index_dir(path + "/kept")
     return (
         spark.read.schema("id bigint, h60 bigint, hb int")
         .parquet(path + "/kept")

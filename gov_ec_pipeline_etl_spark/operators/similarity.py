@@ -513,8 +513,12 @@ def ivf_topk(
 ) -> DataFrame:
     """Top-k search against a stored IVF index built by ``build_ivf``
     (reads dim/centroids from the index itself)."""
-    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import read_index_meta
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        read_index_meta,
+        recover_index_dir,
+    )
 
+    recover_index_dir(path + "/data")
     dim = read_index_meta(path)["dim"]
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),

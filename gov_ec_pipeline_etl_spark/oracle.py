@@ -9,6 +9,7 @@ verified before the driver ever sees it.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import datetime as _dt
 import math
 from typing import Any
@@ -16,6 +17,7 @@ from typing import Any
 import duckdb
 import pandas as pd
 
+from gov_ec_pipeline_etl_spark.caching import unpersist_inputs
 from gov_ec_pipeline_etl_spark.tables import TABLES, table_path
 
 
@@ -205,7 +207,11 @@ def run_all(
             t0 = _time.time()
             if q.oracle is None:
                 try:
-                    n = q.spark(spark, sf_dir).count()
+                    df = q.spark(spark, sf_dir)
+                    try:
+                        n = df.count()
+                    finally:
+                        unpersist_inputs(df)
                     out[name] = f"rows-only ({n} rows)"
                 except Exception as e:  # noqa: BLE001
                     out[name] = f"ERROR {type(e).__name__}: {e}"
@@ -213,12 +219,20 @@ def run_all(
                 try:
                     from gov_ec_pipeline_etl_spark.plans.registry import oracle_text
 
-                    ok, msg = compare(
-                        q.spark(spark, sf_dir), oracle_text(q, sf_dir), sf_dir, con
-                    )
+                    df = q.spark(spark, sf_dir)
+                    try:
+                        ok, msg = compare(df, oracle_text(q, sf_dir), sf_dir, con)
+                    finally:
+                        unpersist_inputs(df)
                     out[name] = ("OK " if ok else "MISMATCH ") + msg
                 except Exception as e:  # noqa: BLE001
                     out[name] = f"ERROR {type(e).__name__}: {e}"
+            # hold()-attached handles are released above; clearing the
+            # cache between queries bounds what any internally-persisted
+            # intermediate can accumulate over a 150+-query gate run
+            # (queries never share caches — bench.py does the same).
+            with _contextlib.suppress(Exception):
+                spark.catalog.clearCache()
             if on_result is not None:
                 on_result(name, out[name], _time.time() - t0)
     finally:

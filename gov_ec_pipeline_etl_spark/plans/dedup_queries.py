@@ -159,10 +159,12 @@ def _minhash_oracle(k: int = 3, num_hashes: int = 12, bands: int = 4) -> str:
     tags=("dedup", "minhash", "lsh", "llm-pipeline"),
 )
 def d02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # returned as-is: any further wrapper (even a no-op rename) would
+    # strip the _persisted_inputs handles minhash_lsh_pairs attaches
     return minhash_lsh_pairs(
         _dirty_docs(spark, sf_dir), "doc_id", "text",
         k=3, num_hashes=12, bands=4, jaccard_threshold=0.5,
-    ).withColumnsRenamed({"id_a": "id_a", "id_b": "id_b"})
+    )
 
 
 def _chunk_terms(chunks: int, chunk_bits: int) -> str:

@@ -121,8 +121,39 @@ def _writer_lock(target_dir: str):
                         f"writer lock {lock} held by live pid {owner}; "
                         "concurrent merges on one target are serialized — retry"
                     )
-                with contextlib.suppress(OSError):
-                    os.remove(lock)  # dead owner: break the stale lock
+                # Break the stale lock by atomically renaming it aside and
+                # VERIFYING the renamed file still names the dead owner. A
+                # blind remove() races: a faster contender may have broken
+                # the stale lock and linked its own between our owner read
+                # and our break, and removing that would let two live
+                # writers into the critical section together.
+                victim = os.path.join(
+                    target_dir,
+                    f".{_LOCK}.stale.{os.getpid()}.{uuid.uuid4().hex}",
+                )
+                try:
+                    os.rename(lock, victim)
+                except FileNotFoundError:
+                    pass  # someone else broke it first; race to re-acquire
+                else:
+                    stolen: int | None = None
+                    with contextlib.suppress(OSError, ValueError):
+                        with open(victim, encoding="utf-8") as f:
+                            stolen = int(f.read().strip())
+                    if stolen != owner:
+                        # We renamed a contender's FRESH lock. link() puts
+                        # back the SAME inode (so its holder's release still
+                        # removes its own lock), then we lose cleanly.
+                        with contextlib.suppress(OSError):
+                            os.link(victim, lock)
+                        with contextlib.suppress(OSError):
+                            os.remove(victim)
+                        raise ConcurrentWriterError(
+                            f"writer lock {lock} was re-acquired by a live "
+                            "contender while breaking a stale owner — retry"
+                        )
+                    with contextlib.suppress(OSError):
+                        os.remove(victim)
             if not _try_acquire():  # a third writer won the race — clean loss
                 raise ConcurrentWriterError(
                     f"writer lock {lock} contended while breaking a stale owner"
@@ -130,8 +161,13 @@ def _writer_lock(target_dir: str):
         try:
             yield
         finally:
+            # Release only OUR lock: the linked path shares tmp's inode, so
+            # an inode mismatch means the lock at this path is no longer
+            # ours (e.g. a contender legitimately broke and re-took it) and
+            # must not be removed.
             with contextlib.suppress(OSError):
-                os.remove(lock)
+                if os.stat(lock).st_ino == os.stat(tmp).st_ino:
+                    os.remove(lock)
     finally:
         with contextlib.suppress(OSError):
             os.remove(tmp)

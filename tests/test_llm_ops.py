@@ -1645,3 +1645,91 @@ def test_xent_terciles_exact_thirds_and_tie_break(spark):
     assert Counter(b for _x, b in got.values()) == Counter(
         {"head": 3, "middle": 3, "tail": 3}
     )
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """Code-review r5: compaction promotes through a deterministic
+    .old rename pair; a crash between the two renames leaves only
+    kept.old. recover_index_dir (called by every reader and by the
+    next compaction) must restore the layout with one rename — an
+    index is never stranded without a data directory."""
+    import os
+
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        read_ngram_index,
+        recover_index_dir,
+        write_ngram_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma word{i} delta epsilon") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    write_ngram_index(docs, "doc_id", "text", idx)
+    before = sorted(tuple(r) for r in read_ngram_index(spark, idx).collect())
+    assert before
+
+    kept = idx + "/kept"
+    os.rename(kept, kept + ".old")  # crash window: no data directory
+    assert not os.path.exists(kept)
+    # any reader transparently recovers the pre-compaction layout
+    after = sorted(tuple(r) for r in read_ngram_index(spark, idx).collect())
+    assert after == before
+    assert os.path.exists(kept) and not os.path.exists(kept + ".old")
+    assert recover_index_dir(kept) is False  # idempotent no-op now
+
+
+def test_bpe_exhausted_steps_keeps_vocab(spark):
+    """Code-review r5: once every word type is one symbol, further merge
+    steps find an EMPTY argmax — the substitution must be a no-op, not
+    a crossJoin that annihilates the vocabulary and silently returns an
+    empty segmentation map."""
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.bpe import (
+        bpe_merges,
+        bpe_segmented_vocab,
+    )
+
+    df = spark.createDataFrame([(1, "ab ab ab cd")], ["doc_id", "text"])
+    # 'ab' and 'cd' are fully merged after 2 steps; ask for 10
+    with released(bpe_segmented_vocab(df, steps=10)) as seg:
+        rows = {r.w: r.n_syms for r in seg.collect()}
+    assert rows == {"ab": 1, "cd": 1}
+    with released(bpe_merges(df, steps=10)) as merges:
+        assert merges.count() == 2  # emits only the learnable merges
+
+
+def test_minhash_probe_respects_portable_flag(spark):
+    """Code-review r5: probing a fast-hash (portable=False) sketch with
+    the default portable hash silently returns zero matches — the CLI
+    now passes the stored meta flag through incremental_neardup_against;
+    this pins the operator-level contract the fix relies on."""
+    from gov_ec_pipeline_etl_spark.caching import unpersist_inputs
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        incremental_neardup_against,
+        minhash_sketch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma word{i} delta epsilon zeta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    arrivals = spark.createDataFrame(
+        [(100, "alpha beta gamma word7 delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    stored = minhash_sketch(corpus, "doc_id", "text", portable=False)
+    matched = incremental_neardup_against(
+        arrivals, stored, threshold=0.5, portable=False
+    )
+    n_matched = matched.count()
+    unpersist_inputs(matched)
+    mismatched = incremental_neardup_against(
+        arrivals, stored, threshold=0.5, portable=True
+    )
+    n_mismatched = mismatched.count()
+    unpersist_inputs(mismatched)
+    stored.unpersist()
+    assert n_matched >= 1  # the planted dup of doc 7
+    assert n_mismatched == 0  # wrong hash mode finds nothing

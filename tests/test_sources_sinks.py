@@ -811,3 +811,87 @@ def test_pointer_cas_rejects_moved_pointer(spark, tmp_path):
         _swap_pointer(target, "snapshot_loser", expect="snapshot_stale_read")
     assert not os.path.exists(loser)  # half-built snapshot cleaned up
     assert os.path.basename(_current_snapshot(target)) == winner
+
+
+def test_writer_lock_release_spares_foreign_lock(spark, tmp_path):
+    """Code-review r5: release removes the lock only if it is still OUR
+    inode. If the holder's lock was (wrongly or legitimately) replaced
+    mid-hold — e.g. a contender broke it and linked its own — the
+    original holder's release must not delete the new holder's lock,
+    or a third writer could enter while the second still runs."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import _LOCK, _writer_lock
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    lock = os.path.join(target, _LOCK)
+    with _writer_lock(target):
+        assert os.path.exists(lock)
+        os.remove(lock)  # simulate a break...
+        with open(lock, "w", encoding="utf-8") as f:
+            f.write("99999999")  # ...and a re-take by another writer
+    # release ran (no error) but left the foreign lock untouched
+    with open(lock, encoding="utf-8") as f:
+        assert f.read() == "99999999"
+
+
+def test_writer_lock_break_restores_fresh_lock(spark, tmp_path):
+    """Code-review r5: breaking a stale lock verifies, AFTER the atomic
+    rename-aside, that the renamed file still names the dead owner. If
+    a faster contender already broke the stale lock and linked its own
+    FRESH lock, the breaker must restore it (same inode) and lose
+    cleanly instead of letting two live writers in."""
+    import subprocess
+
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        _LOCK,
+        ConcurrentWriterError,
+        _writer_lock,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    lock = os.path.join(target, _LOCK)
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead = p.pid
+
+    # Force the race deterministically: our owner read returns the dead
+    # pid, but by rename time the lock belongs to a LIVE contender.
+    import gov_ec_pipeline_etl_spark.sinks.upsert as up
+
+    real_open = open
+    reads = {"n": 0}
+
+    def racing_open(path, *a, **kw):
+        if path == lock and reads["n"] == 0:
+            reads["n"] += 1
+
+            class _F:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *exc):
+                    return False
+
+                def read(self):
+                    return str(dead)
+
+            # the moment we report a dead owner, the live contender
+            # swaps in its own fresh lock
+            with real_open(lock, "w", encoding="utf-8") as f:
+                f.write(str(os.getpid()))
+            return _F()
+        return real_open(path, *a, **kw)
+
+    with real_open(lock, "w", encoding="utf-8") as f:
+        f.write(str(dead))
+    up.open = racing_open  # module-level shadow for the lock read
+    try:
+        with pytest.raises(ConcurrentWriterError, match="re-acquired"):
+            with _writer_lock(target):
+                pass
+    finally:
+        del up.open
+    # the live contender's fresh lock survived the attempted break
+    with real_open(lock, encoding="utf-8") as f:
+        assert f.read() == str(os.getpid())

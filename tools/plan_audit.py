@@ -129,7 +129,7 @@ def main() -> int:
     }
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
-    wide = max(len(n) for n in out)
+    wide = max((len(n) for n in out), default=5)
     print(
         f"{'query'.ljust(wide)}  exch  bcast  smj  shj  bloom  scans  pushed  wscg  py  final"
     )
