@@ -83,6 +83,7 @@ _U58_ORACLE = f"""
     "top-k is a distributed TakeOrdered — no global sort materializes "
     "— and the rank window runs on the k survivors only. Deterministic "
     "u means the sample is reproducible run-over-run at any scale.",
+    bench=True,
     tags=("sampling", "weighted", "curation"),
 )
 def u58_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +285,7 @@ def _x64_oracle(sf_dir: str) -> str:
     "nothing. Bit math is integer-exact (+/>>/&), buckets derive from "
     "data bounds broadcast from a 1-row aggregate, and the whole audit "
     "is one scan + one aggregate.",
+    bench=True,
     tags=("layout", "zorder", "data-skipping"),
 )
 def x64_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
