@@ -378,6 +378,20 @@ def main(argv: list[str] | None = None) -> int:
     psb.add_argument("--id-col", default="doc_id")
     psb.add_argument("--text-col", default="text")
 
+    pt = sub.add_parser(
+        "table",
+        help="merged-table snapshot operations: history (on-disk "
+        "snapshot inventory) and changes (CDC diff of the last merge: "
+        "inserted / deleted / changed keys)",
+    )
+    pt.add_argument("action", choices=["history", "changes"])
+    pt.add_argument("target", help="upsert target directory")
+    pt.add_argument("--key", default="surrogate_id")
+    pt.add_argument(
+        "--out", default=None,
+        help="changes: also write the (key, change_type) rows as parquet",
+    )
+
     # reference get_status {object|compose}: pull any object over HTTP
     # with the retrying session and an atomic tmp-write (get_status.py:
     # 39-60 — download_object + tmp + rename)
@@ -539,6 +553,36 @@ def main(argv: list[str] | None = None) -> int:
                 },
                 indent=2,
                 sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "table":
+        import pyspark.sql.functions as F
+
+        from gov_ec_pipeline_etl_spark.session import get_spark
+        from gov_ec_pipeline_etl_spark.sinks.upsert import (
+            snapshot_changes,
+            snapshot_history,
+        )
+
+        if args.action == "history":
+            print(json.dumps(snapshot_history(args.target)))
+            return 0
+        spark = get_spark("table-changes")
+        ch = snapshot_changes(spark, args.target, key=args.key)
+        if args.out:
+            ch.write.mode("overwrite").parquet(args.out)
+            ch = spark.read.parquet(args.out)  # count the written rows
+        counts = {
+            r["change_type"]: r["n"]
+            for r in ch.groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(
+            json.dumps(
+                {t: int(counts.get(t, 0)) for t in ("inserted", "changed", "deleted")}
             )
         )
         return 0

@@ -38,6 +38,7 @@ finish its scan) and is deleted by the NEXT successful upsert.
 from __future__ import annotations
 
 import contextlib
+import datetime as _dt
 import functools
 import json
 import operator
@@ -554,3 +555,81 @@ def streaming_upsert_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- snapshot inspection / CDC diff ---------------------------------------
+
+
+def snapshot_history(target_dir: str) -> list[dict]:
+    """The table's on-disk snapshot inventory, newest first.
+
+    GC is deferred one generation, so a merged table normally shows two
+    entries: the CURRENT snapshot (the pointer target) and the PREVIOUS
+    one kept for in-flight readers — which is exactly the pair
+    ``snapshot_changes`` diffs. Reads only directory metadata."""
+    cur = _current_snapshot(target_dir)
+    rows = []
+    for name in sorted(os.listdir(target_dir)):
+        p = os.path.join(target_dir, name)
+        if name.startswith("snapshot_") and os.path.isdir(p):
+            rows.append(
+                {
+                    "snapshot": name,
+                    "current": os.path.basename(cur or "") == name,
+                    "mtime_utc": _dt.datetime.fromtimestamp(
+                        os.path.getmtime(p), tz=_dt.timezone.utc
+                    ).isoformat(),
+                }
+            )
+    rows.sort(key=lambda r: r["mtime_utc"], reverse=True)
+    return rows
+
+
+def snapshot_changes(
+    spark: SparkSession, target_dir: str, key: str = "surrogate_id"
+) -> DataFrame:
+    """CDC-style diff of the last merge: (key, change_type) for every
+    row that differs between the PREVIOUS snapshot and the CURRENT one
+    — ``inserted`` / ``deleted`` / ``changed``. Unchanged rows are not
+    emitted, so the result is delta-sized, not table-sized.
+
+    Row equality is a null-safe full-width comparison via md5 of the
+    name-sorted struct JSON (both sides share one schema — the merge
+    wrote them). With no previous snapshot (first load, or GC'd), every
+    current row reports ``inserted``. Scale shape: ONE key-hash join of
+    two key+digest projections; the digests are computed in the scan
+    projection, so the shuffle carries (key, 32-byte hex), never data
+    columns — the reference keeps a load-log TABLE (etl/load.py run
+    ledger) where this derives the same answer from the storage layout
+    itself."""
+    cur = _current_snapshot(target_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no published snapshot under {target_dir}")
+    prev = [
+        os.path.join(target_dir, r["snapshot"])
+        for r in snapshot_history(target_dir)
+        if not r["current"]
+    ]
+    cur_df = spark.read.parquet(cur)
+    digest = F.md5(
+        F.to_json(F.struct(*[F.col(c) for c in sorted(cur_df.columns)]))
+    )
+    cur_kd = cur_df.select(F.col(key).alias("k"), digest.alias("d_cur"))
+    if not prev:
+        return cur_kd.select(
+            F.col("k").alias(key), F.lit("inserted").alias("change_type")
+        )
+    prev_df = spark.read.schema(cur_df.schema).parquet(prev[0])
+    prev_kd = prev_df.select(F.col(key).alias("k"), digest.alias("d_prev"))
+    j = cur_kd.join(prev_kd, "k", "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("d_prev").isNull(), "inserted")
+            .when(F.col("d_cur").isNull(), "deleted")
+            .when(F.col("d_cur") != F.col("d_prev"), "changed")
+            .otherwise(None),
+        )
+        .where(F.col("change_type").isNotNull())
+        .select(F.col("k").alias(key), "change_type")
+    )

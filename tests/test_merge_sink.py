@@ -228,3 +228,81 @@ def test_upsert_dbapi_postgres_dialect_against_duckdb(spark, tmp_path):
     ).fetchone()
     con.close()
     assert (n, updated) == (100, 1)
+
+
+def test_snapshot_history_and_changes_cli(spark, tmp_path, capsys):
+    """Snapshot inspection + CDC diff of the last merge, driven through
+    the CLI: first load reports all-inserted; a second merge that
+    updates one row, inserts one, and leaves one untouched reports
+    exactly {inserted:1, changed:1, deleted:0}; history shows the
+    current + previous snapshot pair the deferred GC keeps."""
+    import json as _json
+
+    from gov_ec_pipeline_etl_spark.cli import main
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        snapshot_changes,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "surrogate_id int, v string"
+    )
+    upsert_parquet(spark, df1, target)
+
+    # first load: no previous snapshot -> everything is 'inserted'
+    ch0 = {
+        (r.surrogate_id, r.change_type)
+        for r in snapshot_changes(spark, target).collect()
+    }
+    assert ch0 == {(1, "inserted"), (2, "inserted"), (3, "inserted")}
+
+    df2 = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "surrogate_id int, v string"
+    )
+    upsert_parquet(spark, df2, target)
+
+    assert main(["table", "history", target]) == 0
+    hist = _json.loads(capsys.readouterr().out.strip())
+    assert len(hist) == 2 and sum(h["current"] for h in hist) == 1
+
+    assert main(["table", "changes", target]) == 0
+    counts = _json.loads(capsys.readouterr().out.strip())
+    assert counts == {"inserted": 1, "changed": 1, "deleted": 0}
+
+    rows = {
+        (r.surrogate_id, r.change_type)
+        for r in snapshot_changes(spark, target).collect()
+    }
+    assert rows == {(4, "inserted"), (2, "changed")}
+
+
+def test_snapshot_changes_partitioned_and_compaction_silent(spark, tmp_path):
+    """CDC diff on a PARTITION-SCOPED merge target: only the touched
+    rows report; a compaction (rows moved between files, never changed)
+    reports an EMPTY diff — the 'results bit-identical across
+    compaction' contract read off the storage layout itself."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        compact_partitions,
+        snapshot_changes,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(1, 2023, "a"), (2, 2023, "b"), (3, 2024, "c")],
+        "surrogate_id int, ano int, v string",
+    )
+    upsert_parquet(spark, df1, target, partition_by=["ano"])
+    df2 = spark.createDataFrame(
+        [(3, 2024, "C"), (4, 2024, "d")], "surrogate_id int, ano int, v string"
+    )
+    upsert_parquet(spark, df2, target, partition_by=["ano"])
+    rows = {
+        (r.surrogate_id, r.change_type)
+        for r in snapshot_changes(spark, target).collect()
+    }
+    assert rows == {(3, "changed"), (4, "inserted")}
+
+    compact_partitions(spark, target, partition_by=["ano"])
+    assert snapshot_changes(spark, target).count() == 0
