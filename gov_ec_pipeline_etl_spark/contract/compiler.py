@@ -155,7 +155,10 @@ class ContractPipeline:
         if not c.enforce_unique_key:
             return df
         if c.dedup_keep == "latest" and c.dedup_order_by in df.columns:
-            tiebreak = "__ingest_seq" if "__ingest_seq" in df.columns else None
+            if c.dedup_tiebreak and c.dedup_tiebreak in df.columns:
+                tiebreak = c.dedup_tiebreak
+            else:
+                tiebreak = "__ingest_seq" if "__ingest_seq" in df.columns else None
             return dedup_keep_latest(
                 df, ["business_key"], c.dedup_order_by, tiebreak
             )

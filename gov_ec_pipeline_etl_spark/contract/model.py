@@ -71,6 +71,9 @@ class Contract:
     enforce_unique_key: bool = True
     dedup_keep: str = "latest"  # latest | first
     dedup_order_by: str | None = None
+    # unique column breaking order_by ties — without one, keep-latest on
+    # duplicate order values is engine-internal nondeterminism
+    dedup_tiebreak: str | None = None
     # derive
     derive_year: dict[str, str] = field(default_factory=dict)  # col → date col
     # schema drift policy
@@ -129,6 +132,7 @@ class Contract:
             enforce_unique_key=dedup.get("enforce_unique", True),
             dedup_keep=dedup.get("keep", "latest"),
             dedup_order_by=dedup.get("order_by"),
+            dedup_tiebreak=dedup.get("tiebreak"),
             derive_year=derive,
             pad_missing=schema.get("pad_missing", True),
             fail_on_missing_expected=schema.get("fail_on_missing_expected", False),

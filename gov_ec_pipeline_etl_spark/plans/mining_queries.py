@@ -122,20 +122,20 @@ _COVER_US = 30 * 86_400_000_000  # each order covers 30 days
 
 _ISLANDS_ORACLE = f"""
     WITH iv AS (
-      SELECT o_custkey, epoch_us(o_orderdate) AS s,
+      SELECT o_custkey, o_orderkey AS tb, epoch_us(o_orderdate) AS s,
              epoch_us(o_orderdate) + {_COVER_US} AS e
       FROM orders
     ),
     m AS (
-      SELECT o_custkey, s, e,
+      SELECT o_custkey, tb, s, e,
              MAX(e) OVER (
-               PARTITION BY o_custkey ORDER BY s, e
+               PARTITION BY o_custkey ORDER BY s, e, tb
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS prev_max_e
       FROM iv
     ),
     flagged AS (
-      SELECT o_custkey, s, e,
+      SELECT o_custkey, tb, s, e,
              CASE WHEN prev_max_e IS NULL OR s > prev_max_e
                   THEN 1 ELSE 0 END AS brk
       FROM m
@@ -143,7 +143,7 @@ _ISLANDS_ORACLE = f"""
     isl AS (
       SELECT o_custkey, s, e,
              SUM(brk) OVER (
-               PARTITION BY o_custkey ORDER BY s, e
+               PARTITION BY o_custkey ORDER BY s, e, tb
                ROWS UNBOUNDED PRECEDING
              ) AS island
       FROM flagged
@@ -167,16 +167,24 @@ _ISLANDS_ORACLE = f"""
     "sessionization: coverage/outage coalescing, contract-period "
     "merging, retention-window math. Scale shape: both windows and the "
     "island aggregate share the o_custkey partitioning — ONE shuffle; "
-    "frames are per-customer order-count bounded.",
+    "frames are per-customer order-count bounded. The window order "
+    "carries o_orderkey as a TIEBREAK: (s, e) alone is not a total "
+    "order when a customer orders twice in one day, and the brk/"
+    "running-sum pair is only consistent if BOTH stacked windows see "
+    "ties in one order — DuckDB's parallel window evaluation orders "
+    "tied peers independently per window (root-caused from a "
+    "nondeterministic sf1 full-gate mismatch; Spark shares one sort "
+    "but has the same formal hazard).",
     tags=("window", "intervals", "analytics"),
 )
 def u55_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = T(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("tb"),
         F.unix_micros("o_orderdate").alias("s"),
         (F.unix_micros("o_orderdate") + F.lit(_COVER_US)).alias("e"),
     )
-    return coalesce_intervals(iv).select(
+    return coalesce_intervals(iv, tiebreak="tb").select(
         F.col("key").alias("o_custkey"),
         "island",
         "island_start_us",
@@ -185,7 +193,7 @@ def u55_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def coalesce_intervals(iv: DataFrame) -> DataFrame:
+def coalesce_intervals(iv: DataFrame, tiebreak: str | None = None) -> DataFrame:
     """Merge overlapping-or-touching ``(key, s, e)`` intervals into
     islands: ``(key, island, island_start_us, island_end_us, n)``.
 
@@ -193,8 +201,16 @@ def coalesce_intervals(iv: DataFrame) -> DataFrame:
     running MAX end of all earlier intervals — lag(e) alone would split
     a long interval's containment-nested successors into bogus islands.
     One shuffle: the windows and the island aggregate share the key
-    partitioning."""
-    w = Window.partitionBy("key").orderBy("s", "e")
+    partitioning.
+
+    ``tiebreak`` (a unique column) should be passed whenever duplicate
+    ``(s, e)`` per key are possible: the break-flag and running-sum
+    windows must observe tied rows in ONE order, and ``(s, e)`` alone
+    leaves that order engine-internal — evaluated independently per
+    window (as DuckDB's parallel window operator does), inconsistent
+    tie orders merge islands across real gaps and split true islands."""
+    order = ["s", "e"] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy("key").orderBy(*order)
     prev_max_e = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -271,7 +271,15 @@ _R10_CONTRACT = {
         "business_key": {"fields": ["user_id", "ts", "event_type"]},
         "surrogate": {"method": "sha256"},
     },
-    "dedup": {"enforce_unique": True, "keep": "latest", "order_by": "ts"},
+    "dedup": {
+        "enforce_unique": True,
+        "keep": "latest",
+        "order_by": "ts",
+        # unique tiebreak: the business key truncates ts to seconds, so
+        # order_by ties are possible and the WINNER'S event_id/value are
+        # emitted — without this the keep is engine-internal choice
+        "tiebreak": "event_id",
+    },
 }
 
 
@@ -296,7 +304,7 @@ _R10_CONTRACT = {
         deduped AS (
           SELECT * FROM (
             SELECT *, ROW_NUMBER() OVER (
-              PARTITION BY business_key ORDER BY ts DESC
+              PARTITION BY business_key ORDER BY ts DESC, event_id DESC
             ) AS rn FROM keyed
           ) WHERE rn = 1
         )

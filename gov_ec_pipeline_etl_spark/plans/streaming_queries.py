@@ -62,7 +62,7 @@ def st03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st02_session_window",
     oracle="""
         WITH marked AS (
-          SELECT user_id, ts, value,
+          SELECT user_id, ts, event_id, value,
                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                            > INTERVAL 5 MINUTE
                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -72,7 +72,7 @@ def st03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions AS (
           SELECT user_id, ts, value,
                  SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                  ) AS session_id
           FROM marked

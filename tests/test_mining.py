@@ -334,3 +334,29 @@ def test_markov_tiny_sequence_handmath(spark, tmp_path):
         for r in x61_markov_transitions(spark, d).collect()
     }
     assert out == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+def test_interval_islands_duplicate_interval_ties(spark):
+    """sf1 full-gate root-cause regression (round 5): two IDENTICAL
+    intervals (a customer ordering twice in one day) after a real gap.
+    The break-flag and running-sum windows must see the tied rows in
+    ONE order — without a unique tiebreak in the window ORDER BY, an
+    engine that orders tied peers independently per window (DuckDB's
+    parallel window operator does) merges the island across the gap
+    AND splits the true island. Hand-computed islands pinned."""
+    from gov_ec_pipeline_etl_spark.plans.mining_queries import (
+        coalesce_intervals,
+    )
+
+    rows = [  # (key, tb, s, e): gap between e=10 and the s=20 twins
+        (1, 101, 0, 10),
+        (1, 102, 20, 30),
+        (1, 103, 20, 30),
+        (1, 104, 31, 40),
+    ]
+    iv = spark.createDataFrame(rows, ["key", "tb", "s", "e"])
+    out = {
+        (r.island, r.island_start_us, r.island_end_us, r.n)
+        for r in coalesce_intervals(iv, tiebreak="tb").collect()
+    }
+    assert out == {(1, 0, 10, 1), (2, 20, 30, 2), (3, 31, 40, 1)}
