@@ -81,6 +81,7 @@ def _index_cmd(args) -> int:
             idx = dd.read_sketch_index(spark, args.index_path)
             ids = "id"
         else:  # ivf / ivfpq share the centroid-partitioned layout
+            dd.require_index_dir(args.index_path + "/data")
             idx = spark.read.parquet(args.index_path + "/data")
             ids = "vec_id"
         print(json.dumps({

@@ -155,7 +155,16 @@ class ContractPipeline:
         if not c.enforce_unique_key:
             return df
         if c.dedup_keep == "latest" and c.dedup_order_by in df.columns:
-            if c.dedup_tiebreak and c.dedup_tiebreak in df.columns:
+            if c.dedup_tiebreak:
+                # a DECLARED tiebreak is an assertion, not a hint: silently
+                # falling back would reinstate the engine-internal
+                # nondeterminism the field exists to eliminate
+                if c.dedup_tiebreak not in df.columns:
+                    raise ValueError(
+                        f"contract dedup.tiebreak column "
+                        f"{c.dedup_tiebreak!r} is absent from the frame "
+                        f"(have: {sorted(df.columns)})"
+                    )
                 tiebreak = c.dedup_tiebreak
             else:
                 tiebreak = "__ingest_seq" if "__ingest_seq" in df.columns else None

@@ -798,7 +798,7 @@ def build_sketch_index(
 
 
 def read_sketch_index(spark: SparkSession, path: str) -> DataFrame:
-    recover_index_dir(path + "/sketch")
+    require_index_dir(path + "/sketch")
     return spark.read.schema("id bigint, h60 bigint").parquet(path + "/sketch")
 
 
@@ -814,6 +814,8 @@ def append_to_sketch_index(
     the batch, the corpus sketch is never rewritten. (Unlike the n-gram
     index there is no frozen statistic here: the sketch is exact per
     document, so append drift cannot occur.)"""
+    recover_index_dir(path + "/sketch")  # append into a fresh dir would
+    # otherwise bury a crash-stranded corpus under a batch-only index
     meta = read_index_meta(path)
     sh = minhash_sketch(arrivals, id_col, text_col, meta["k"], meta["portable"])
     n = sh.count()
@@ -998,6 +1000,7 @@ def append_to_ngram_index(
     deployed inverted index makes): shingles that become heavy only
     through arrivals keep indexing until a rebuild recomputes the cut.
     Returns the number of appended (id, h60) rows."""
+    recover_index_dir(path + "/kept")  # see append_to_sketch_index
     meta = read_index_meta(path)
     head = read_ngram_head(spark, path)
     sh_new = (
@@ -1032,11 +1035,13 @@ def compact_index_dir(
     promoted with two atomic renames through a DETERMINISTIC
     ``<data_dir>.old`` name; a crash between the renames leaves only
     ``.old``, which ``recover_index_dir`` (called here and by every
-    stored-index reader) restores with one rename — so the index is
-    always recoverable to the old or the new layout, never stranded
-    half-written. Query results are bit-identical across the
-    compaction (rows are moved, never changed) — lifecycle-tested for
-    all three stored index kinds."""
+    APPENDER — maintenance ops, serialized by assumption) restores with
+    one rename, while pure readers fail loudly via
+    ``require_index_dir`` (a reader must not rename directories under
+    an in-flight promote). The index is always recoverable to the old
+    or the new layout, never stranded half-written. Query results are
+    bit-identical across the compaction (rows are moved, never
+    changed) — lifecycle-tested for all three stored index kinds."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
@@ -1079,10 +1084,19 @@ def recover_index_dir(data_dir: str) -> bool:
 
     ``compact_index_dir`` promotes with ``rename(data, data.old)`` then
     ``rename(new, data)``; a crash between the two leaves only
-    ``data.old``. Readers and the next compaction call this first: if
-    ``data_dir`` is missing and the deterministic ``.old`` sibling
-    exists, one rename restores the pre-compaction layout (rows are
-    identical either side of a compaction, so recovery loses nothing).
+    ``data.old``. MAINTENANCE entry points (appenders, the next
+    compaction) call this first: if ``data_dir`` is missing and the
+    deterministic ``.old`` sibling exists, one rename restores the
+    pre-compaction layout (rows are identical either side of a
+    compaction, so recovery loses nothing). Appenders MUST recover
+    before an ``append``-mode write — Spark would otherwise silently
+    CREATE a fresh batch-only directory, and the next compaction's
+    leftover-``.old`` cleanup would then delete the stranded corpus.
+
+    Pure READERS deliberately do not call this: a reader renaming
+    directories races an in-flight compaction's promote window (its
+    second rename would land on a recreated dir and fail). Readers use
+    :func:`require_index_dir`, which raises with the remedy instead.
     Returns True when a recovery was performed."""
     import os as _os
 
@@ -1091,6 +1105,21 @@ def recover_index_dir(data_dir: str) -> bool:
         _os.rename(old, data_dir)
         return True
     return False
+
+
+def require_index_dir(data_dir: str) -> None:
+    """Read-side guard: fail LOUDLY (with the remedy) when the index
+    data directory is missing but its ``.old`` crash artifact exists —
+    never silently scan nothing, and never mutate on a read path (a
+    reader's rename would race an in-flight compaction's promote)."""
+    import os as _os
+
+    if not _os.path.exists(data_dir) and _os.path.exists(data_dir + ".old"):
+        raise FileNotFoundError(
+            f"{data_dir} is missing but {data_dir + '.old'} exists — a "
+            "compaction crashed mid-promote; run any maintenance op "
+            "(ingest/compact, or recover_index_dir()) to restore it"
+        )
 
 
 _NGRAM_KEPT_SCHEMA = "id bigint, h60 bigint, hb int"
@@ -1112,7 +1141,7 @@ def read_ngram_index(spark: SparkSession, path: str) -> DataFrame:
     max_df — e.g. a uniform closed vocabulary at scale — has no
     discriminative shingles, the cut keeps nothing, and Spark's
     partitioned writer emits no files to infer a schema from."""
-    recover_index_dir(path + "/kept")
+    require_index_dir(path + "/kept")
     return (
         spark.read.schema("id bigint, h60 bigint, hb int")
         .parquet(path + "/kept")

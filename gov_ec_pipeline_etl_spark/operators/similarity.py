@@ -476,8 +476,13 @@ def append_to_ivf(emb: DataFrame, spark, path: str,
     nearest STORED centroid (frozen between rebuilds — the standard
     IVF trade; re-clustering is a rebuild) and append into the
     centroid-partitioned layout. Linear in the batch."""
-    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import read_index_meta
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        read_index_meta,
+        recover_index_dir,
+    )
 
+    recover_index_dir(path + "/data")  # append must not bury a
+    # crash-stranded corpus under a fresh batch-only directory
     dim = read_index_meta(path)["dim"]
     vecs = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -515,10 +520,10 @@ def ivf_topk(
     (reads dim/centroids from the index itself)."""
     from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
         read_index_meta,
-        recover_index_dir,
+        require_index_dir,
     )
 
-    recover_index_dir(path + "/data")
+    require_index_dir(path + "/data")
     dim = read_index_meta(path)["dim"]
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
@@ -1007,6 +1012,11 @@ def _write_ivfpq_codes(code_rows: DataFrame, path: str, mode: str) -> int:
 
 def _read_ivfpq_code_rows(spark, path: str) -> DataFrame:
     """Stored wide codes back to (vec_id, cent_id, sub, code) rows."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        require_index_dir,
+    )
+
+    require_index_dir(path + "/data")
     return spark.read.parquet(path + "/data").select(
         "vec_id", "cent_id", F.posexplode("codes").alias("sub", "code")
     )
@@ -1020,8 +1030,12 @@ def append_to_ivfpq(
     the STORED codebooks (both frozen between rebuilds — the standard
     IVF/PQ trade), append into the partitioned code table. Linear in
     the batch; corpus rows never rewritten."""
-    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import read_index_meta
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        read_index_meta,
+        recover_index_dir,
+    )
 
+    recover_index_dir(path + "/data")  # see append_to_ivf
     meta = read_index_meta(path)
     dim, m = meta["dim"], meta["m"]
     vecs = emb.select(

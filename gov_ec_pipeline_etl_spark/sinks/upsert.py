@@ -64,114 +64,56 @@ class ConcurrentWriterError(RuntimeError):
 
 @contextlib.contextmanager
 def _writer_lock(target_dir: str):
-    """Advisory exclusive writer lock: the owner pid is written to a
-    private temp file which is then ``os.link``-ed to the lock path —
-    link() is atomic, so the lock can NEVER be observed existing-but-
-    empty (the old O_CREAT|O_EXCL-then-write scheme had a window where
-    a contender read an empty file, parsed owner=0, and broke a LIVE
-    lock). A lock whose owner pid is provably dead is broken and taken
-    over — a crashed writer must not wedge the table forever; a lock
-    whose owner cannot be read or parsed is treated as a LIVE
-    contender, never broken. pid liveness is a same-host signal; on a
-    shared filesystem the CAS check in ``_swap_pointer`` is the
-    authoritative guard (the reference's own commit protocol is
-    single-writer too; its 409 handling — load.py:534-603 — is the
-    analogous race acknowledgment)."""
+    """Advisory exclusive writer lock via ``fcntl.flock``.
+
+    Lock ownership lives in the KERNEL on the open file description,
+    which eliminates the entire failure taxonomy an existence-based
+    lockfile scheme has to mitigate case by case:
+
+    - a crashed writer's lock is released automatically — no stale-lock
+      detection, no pid-liveness heuristics, no breaking protocol;
+    - acquisition is one atomic syscall (``LOCK_EX | LOCK_NB``) — no
+      read-then-break TOCTOU, and no instant where the lock path is
+      vacant mid-handover (the unfixable flaw of every break-and-relink
+      scheme: between renaming a suspect lock aside and restoring it, a
+      third writer can acquire the vacant path);
+    - the lockfile's CONTENT (owner pid) is diagnostics only, so a
+      garbled or empty file can never cause a wrong decision.
+
+    The lockfile is created once and never removed (removing it would
+    reintroduce a race: a contender holding an flock on an unlinked
+    inode while a newcomer locks the recreated file — two holders).
+    Same-host scope is unchanged from the previous scheme (flock over
+    NFS is historically unreliable); on a shared filesystem the CAS in
+    ``_swap_pointer`` remains the authoritative cross-host guard (the
+    reference's own commit protocol is single-writer too; its 409
+    handling — load.py:534-603 — is the analogous race
+    acknowledgment)."""
+    import fcntl
+
     lock = os.path.join(target_dir, _LOCK)
-    tmp = os.path.join(target_dir, f".{_LOCK}.{os.getpid()}.{uuid.uuid4().hex}")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(str(os.getpid()))
-
-    def _try_acquire() -> bool:
-        try:
-            os.link(tmp, lock)  # atomic create-with-content
-            return True
-        except FileExistsError:
-            return False
-
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
-        if not _try_acquire():
-            released = False
-            try:
-                with open(lock, encoding="utf-8") as f:
-                    owner = int(f.read().strip())
-            except FileNotFoundError:
-                released = True  # holder finished between our attempts
-                owner = -1
-            except (OSError, ValueError):
-                # Unreadable/garbled owner cannot be attributed to a dead
-                # pid — a live contender by policy; never break this lock.
-                raise ConcurrentWriterError(
-                    f"writer lock {lock} has unreadable owner; treating as "
-                    "a live contender — retry"
-                ) from None
-            if not released:
-                if owner <= 0:
-                    raise ConcurrentWriterError(
-                        f"writer lock {lock} has non-positive owner {owner}; "
-                        "treating as a live contender — retry"
-                    )
-                alive = True
-                with contextlib.suppress(PermissionError):
-                    try:
-                        os.kill(owner, 0)
-                    except ProcessLookupError:
-                        alive = False
-                if alive:
-                    raise ConcurrentWriterError(
-                        f"writer lock {lock} held by live pid {owner}; "
-                        "concurrent merges on one target are serialized — retry"
-                    )
-                # Break the stale lock by atomically renaming it aside and
-                # VERIFYING the renamed file still names the dead owner. A
-                # blind remove() races: a faster contender may have broken
-                # the stale lock and linked its own between our owner read
-                # and our break, and removing that would let two live
-                # writers into the critical section together.
-                victim = os.path.join(
-                    target_dir,
-                    f".{_LOCK}.stale.{os.getpid()}.{uuid.uuid4().hex}",
-                )
-                try:
-                    os.rename(lock, victim)
-                except FileNotFoundError:
-                    pass  # someone else broke it first; race to re-acquire
-                else:
-                    stolen: int | None = None
-                    with contextlib.suppress(OSError, ValueError):
-                        with open(victim, encoding="utf-8") as f:
-                            stolen = int(f.read().strip())
-                    if stolen != owner:
-                        # We renamed a contender's FRESH lock. link() puts
-                        # back the SAME inode (so its holder's release still
-                        # removes its own lock), then we lose cleanly.
-                        with contextlib.suppress(OSError):
-                            os.link(victim, lock)
-                        with contextlib.suppress(OSError):
-                            os.remove(victim)
-                        raise ConcurrentWriterError(
-                            f"writer lock {lock} was re-acquired by a live "
-                            "contender while breaking a stale owner — retry"
-                        )
-                    with contextlib.suppress(OSError):
-                        os.remove(victim)
-            if not _try_acquire():  # a third writer won the race — clean loss
-                raise ConcurrentWriterError(
-                    f"writer lock {lock} contended while breaking a stale owner"
-                )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            owner = ""
+            with contextlib.suppress(OSError):
+                owner = os.read(fd, 64).decode(errors="replace").strip()
+            raise ConcurrentWriterError(
+                f"writer lock {lock} held by live pid {owner or 'unknown'}; "
+                "concurrent merges on one target are serialized — retry"
+            ) from None
+        with contextlib.suppress(OSError):
+            os.ftruncate(fd, 0)
+            os.write(fd, str(os.getpid()).encode())
         try:
             yield
         finally:
-            # Release only OUR lock: the linked path shares tmp's inode, so
-            # an inode mismatch means the lock at this path is no longer
-            # ours (e.g. a contender legitimately broke and re-took it) and
-            # must not be removed.
             with contextlib.suppress(OSError):
-                if os.stat(lock).st_ino == os.stat(tmp).st_ino:
-                    os.remove(lock)
+                os.ftruncate(fd, 0)  # clear the diagnostic pid
     finally:
-        with contextlib.suppress(OSError):
-            os.remove(tmp)
+        os.close(fd)  # closing the fd releases the flock
 
 
 def _current_snapshot(target_dir: str) -> str | None:
@@ -428,7 +370,14 @@ def _swap_pointer(target_dir: str, snap_name: str, expect=_UNSET) -> None:
             )
     tmp = os.path.join(target_dir, f".{_POINTER}.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"snapshot": snap_name}, f)
+        # "previous" records the LINEAGE (the snapshot this write read),
+        # so snapshot_changes diffs against the true predecessor — an
+        # mtime heuristic would pick up half-written strays from a
+        # hard-killed merge, whose rmtree-on-exception never ran
+        rec = {"snapshot": snap_name}
+        if expect is not _UNSET:
+            rec["previous"] = expect
+        json.dump(rec, f)
     os.replace(tmp, os.path.join(target_dir, _POINTER))
 
 
@@ -605,11 +554,18 @@ def snapshot_changes(
     cur = _current_snapshot(target_dir)
     if cur is None:
         raise FileNotFoundError(f"no published snapshot under {target_dir}")
-    prev = [
-        os.path.join(target_dir, r["snapshot"])
-        for r in snapshot_history(target_dir)
-        if not r["current"]
-    ]
+    # the previous side comes from the pointer's recorded LINEAGE, never
+    # from directory listing/mtime: a hard-killed merge can leave a
+    # half-written stray snapshot dir (its rmtree-on-exception never
+    # ran) that is newer than the real predecessor, and diffing against
+    # it would fabricate inserted/changed rows in the post-mortem tool
+    with open(os.path.join(target_dir, _POINTER), encoding="utf-8") as f:
+        prev_name = json.load(f).get("previous")
+    prev = []
+    if prev_name:
+        p = os.path.join(target_dir, prev_name)
+        if os.path.isdir(p):
+            prev = [p]
     cur_df = spark.read.parquet(cur)
     digest = F.md5(
         F.to_json(F.struct(*[F.col(c) for c in sorted(cur_df.columns)]))

@@ -60,10 +60,17 @@ def run_streaming_neardup_ingest(
     stored = read_sketch_index(spark, idx)
 
     def check_batch(batch: DataFrame, _batch_id: int) -> None:
+        from gov_ec_pipeline_etl_spark.caching import unpersist_inputs
+
         out_df = incremental_neardup_against(
             batch, stored, "doc_id", "text", k=k, threshold=threshold
         )
-        out_df.write.mode("append").parquet(out)
+        try:
+            out_df.write.mode("append").parquet(out)
+        finally:
+            # release the per-batch arrival sketch the operator persists —
+            # an unbounded ingest would otherwise pin one per trigger
+            unpersist_inputs(out_df)
 
     q = (
         spark.readStream.schema(arrivals.schema)

@@ -1673,11 +1673,35 @@ def test_compact_crash_recovery(spark, tmp_path):
     kept = idx + "/kept"
     os.rename(kept, kept + ".old")  # crash window: no data directory
     assert not os.path.exists(kept)
-    # any reader transparently recovers the pre-compaction layout
+    # pure readers fail LOUDLY with the remedy (a reader must not
+    # rename directories under an in-flight promote)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="compaction crashed"):
+        read_ngram_index(spark, idx).collect()
+    # maintenance recovers with one rename; the reader then matches
+    assert recover_index_dir(kept) is True
     after = sorted(tuple(r) for r in read_ngram_index(spark, idx).collect())
     assert after == before
     assert os.path.exists(kept) and not os.path.exists(kept + ".old")
     assert recover_index_dir(kept) is False  # idempotent no-op now
+
+    # an APPENDER hitting the crash window recovers BEFORE writing —
+    # mode('append') would otherwise create a fresh batch-only dir and
+    # the next compaction's .old cleanup would delete the real corpus
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        append_to_ngram_index,
+    )
+
+    os.rename(kept, kept + ".old")
+    more = spark.createDataFrame(
+        [(900, "zeta eta theta iota kappa uniqword900")], ["doc_id", "text"]
+    )
+    append_to_ngram_index(more, spark, idx)
+    merged = read_ngram_index(spark, idx)
+    ids = {r.id for r in merged.select("id").distinct().collect()}
+    assert 900 in ids and len(ids) == 21  # corpus restored + batch added
+    assert not os.path.exists(kept + ".old")
 
 
 def test_bpe_exhausted_steps_keeps_vocab(spark):

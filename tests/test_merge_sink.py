@@ -306,3 +306,38 @@ def test_snapshot_changes_partitioned_and_compaction_silent(spark, tmp_path):
 
     compact_partitions(spark, target, partition_by=["ano"])
     assert snapshot_changes(spark, target).count() == 0
+
+
+def test_snapshot_changes_ignores_stray_snapshot(spark, tmp_path):
+    """Code-review r5: a hard-killed merge can leave a half-written
+    snapshot dir (its rmtree-on-exception never ran) NEWER than the
+    real predecessor. The CDC diff must follow the pointer's recorded
+    lineage, not directory mtime — diffing against the stray would
+    fabricate rows in exactly the post-mortem this tool exists for."""
+    import os
+
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        snapshot_changes,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "surrogate_id int, v string"
+    )
+    upsert_parquet(spark, df1, target)
+    df2 = spark.createDataFrame([(2, "B")], "surrogate_id int, v string")
+    upsert_parquet(spark, df2, target)
+
+    # a stray, newest-mtime, half-written snapshot from a killed merge
+    stray = os.path.join(target, "snapshot_deadbeefdead")
+    os.makedirs(stray)
+    spark.createDataFrame(
+        [(999, "junk")], "surrogate_id int, v string"
+    ).write.mode("overwrite").parquet(stray)
+
+    rows = {
+        (r.surrogate_id, r.change_type)
+        for r in snapshot_changes(spark, target).collect()
+    }
+    assert rows == {(2, "changed")}  # lineage diff; stray invisible
