@@ -114,3 +114,79 @@ def test_fast_compare_large_results():
     sv = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
     ok, msg = _fast_compare(ss, sv, ["k", "v"])
     assert ok or "v" in msg  # either lossless-equal or named rejection
+
+
+def test_tie_sensitive_queries_parity_on_planted_ties(spark, tmp_path):
+    """Adversarial tie data for every query whose window logic is
+    positional: users with DUPLICATE event timestamps and customers
+    with duplicate order dates straddling real gaps — the exact shape
+    that made u55 flake the sf1 gate. Spark and DuckDB must hash-agree
+    on all five; if anyone drops a tiebreak from either side, this
+    fails deterministically instead of once per sf1 full-gate run."""
+    import os
+
+    from gov_ec_pipeline_etl_spark.oracle import compare, duckdb_connection
+    from gov_ec_pipeline_etl_spark.plans import all_queries
+    from gov_ec_pipeline_etl_spark.plans.registry import oracle_text
+    from gov_ec_pipeline_etl_spark.tables import TABLES
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "ties")
+    os.makedirs(d)
+    ts = "2024-03-01 12:00:00"
+    ts2 = "2024-03-01 12:02:00"
+    far = "2024-07-01 09:30:00"
+    ev = []
+    eid = 0
+    for u in (1, 2, 3):
+        for t, et, v in [
+            (ts, "view", 10.0), (ts, "click", 20.0),  # duplicate ts
+            (ts, "view", 30.0),                        # triple tie
+            (ts2, "purchase", 40.0),
+            (far, "view", 50.0), (far, "error", 60.0),  # tied after gap
+        ]:
+            eid += 1
+            ev.append((eid, t, u, et, v, "{}"))
+    import pandas as pd
+
+    # single-file parquet with naive TIMESTAMP(us), matching the
+    # driver-generated testdata physical (read_table normalizes it)
+    edf = pd.DataFrame(
+        ev, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    edf["ts"] = pd.to_datetime(edf["ts"]).astype("datetime64[us]")
+    edf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    orders = []
+    for c in (1, 2):
+        for i, day in enumerate(
+            ["1995-01-01", "1995-01-10", "1995-01-10",  # duplicate date
+             "1995-06-01", "1995-06-01"]                 # tied after gap
+        ):
+            orders.append((c * 100 + i, c, "O", 100.0 + i, day, "1-URGENT"))
+    odf = pd.DataFrame(
+        orders, columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "o_orderdate", "o_orderpriority"]
+    )
+    odf["o_orderdate"] = pd.to_datetime(odf["o_orderdate"]).astype("datetime64[us]")
+    odf.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    for t in TABLES:
+        p = os.path.join(d, f"{t}.parquet")
+        if not os.path.exists(p):
+            os.symlink(os.path.join(SF_SMOKE, f"{t}.parquet"), p)
+
+    q = all_queries()
+    con = duckdb_connection(d)
+    try:
+        for name in (
+            "u55_interval_islands",
+            "x55_sessionize",
+            "x63_scd2_build",
+            "st02_session_window",
+            "r10_contract_end_to_end",
+        ):
+            ok, msg = compare(
+                q[name].spark(spark, d), oracle_text(q[name], d), d, con
+            )
+            assert ok, f"{name}: {msg}"
+    finally:
+        con.close()
