@@ -174,19 +174,33 @@ def _chunk_terms(chunks: int, chunk_bits: int) -> str:
     )
 
 
+# Per-bit majority votes as ONE vectorized aggregation over exploded
+# token rows (60 SUM expressions), not nested list lambdas — the lambda
+# form re-walks the whole token list per bit with per-element
+# interpreter calls, and at sf1 it made this replay the single largest
+# cost in the scale gate (~900 s; the row form is pure columnar).
+_SIMHASH_BIT_SUMS = ",\n                 ".join(
+    f"SUM((h >> {b}) & 1) AS b{b}" for b in range(60)
+)
+_SIMHASH_FP_ASSEMBLE = " + ".join(
+    f"(CASE WHEN 2 * b{b} >= n THEN (CAST(1 AS BIGINT) << {b}) "
+    "ELSE 0 END)"
+    for b in range(60)
+)
 _SIMHASH_FPS_CTES = f"""corpus AS ({DIRTY_SQL}),
         toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
-        hashed AS (
-          SELECT doc_id,
-                 list_transform(toks, t -> {portable_hash64_sql('t', 0)}) AS hashes
-          FROM toksed
+        hv AS (
+          SELECT doc_id, {portable_hash64_sql('t', 0)} AS h
+          FROM (SELECT doc_id, unnest(toks) AS t FROM toksed)
+        ),
+        bitagg AS (
+          SELECT doc_id, COUNT(*) AS n,
+                 {_SIMHASH_BIT_SUMS}
+          FROM hv GROUP BY doc_id
         ),
         fps AS (
-          SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
-            CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h >> b) & 1))
-                      >= len(hashes)
-                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS fp
-          FROM hashed
+          SELECT doc_id, CAST({_SIMHASH_FP_ASSEMBLE} AS BIGINT) AS fp
+          FROM bitagg
         )"""
 
 
