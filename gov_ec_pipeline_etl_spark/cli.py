@@ -385,12 +385,20 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot inventory) and changes (CDC diff of the last merge: "
         "inserted / deleted / changed keys)",
     )
-    pt.add_argument("action", choices=["history", "changes"])
+    pt.add_argument("action", choices=["history", "changes", "delete"])
     pt.add_argument("target", help="upsert target directory")
     pt.add_argument("--key", default="surrogate_id")
     pt.add_argument(
         "--out", default=None,
         help="changes: also write the (key, change_type) rows as parquet",
+    )
+    pt.add_argument(
+        "--keys", default=None,
+        help="delete: parquet holding the key column to delete",
+    )
+    pt.add_argument(
+        "--partition-by", default=None,
+        help="delete: comma-separated partition columns (scoped rewrite)",
     )
 
     # reference get_status {object|compose}: pull any object over HTTP
@@ -563,12 +571,25 @@ def main(argv: list[str] | None = None) -> int:
 
         from gov_ec_pipeline_etl_spark.session import get_spark
         from gov_ec_pipeline_etl_spark.sinks.upsert import (
+            delete_keys,
             snapshot_changes,
             snapshot_history,
         )
 
         if args.action == "history":
             print(json.dumps(snapshot_history(args.target)))
+            return 0
+        if args.action == "delete":
+            if not args.keys:
+                print("table delete requires --keys", file=sys.stderr)
+                return 2
+            spark = get_spark("table-delete")
+            parts = args.partition_by.split(",") if args.partition_by else None
+            m = delete_keys(
+                spark, spark.read.parquet(args.keys), args.target,
+                key=args.key, partition_by=parts,
+            )
+            print(json.dumps(m))
             return 0
         spark = get_spark("table-changes")
         ch = snapshot_changes(spark, args.target, key=args.key)

@@ -589,3 +589,117 @@ def snapshot_changes(
         .where(F.col("change_type").isNotNull())
         .select(F.col("k").alias(key), "change_type")
     )
+
+
+def delete_keys(
+    spark: SparkSession,
+    keys: DataFrame,
+    target_dir: str,
+    key: str = "surrogate_id",
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Keyed DELETE under the merge sink's full safety contract — the
+    ``WHEN MATCHED THEN DELETE`` arm completing upsert_parquet's MERGE
+    semantics (Delta's form; the reference's REST sink had no delete,
+    so this is engine-native surface). Same advisory flock, same
+    fresh-snapshot publication with CAS pointer swap, same deferred
+    GC; idempotent by construction (absent keys are a no-op, replays
+    converge) and visible afterwards in ``snapshot_changes`` as
+    ``deleted`` rows.
+
+    Scale shape: matched keys are found with one left_semi on a
+    key(+partition)-column projection — a thin column-pruned scan, not
+    a table read. Partitioned targets then rewrite ONLY the touched
+    partitions: untouched directories are hard-linked (metadata-only),
+    touched directories are REMOVED from the linked copy and the
+    surviving rows appended back — removal-then-append rather than
+    dynamic partition overwrite, because a delete can empty a
+    partition entirely and dynamic overwrite only replaces partitions
+    the written frame still contains (an emptied partition would
+    silently keep its old rows)."""
+    keys = keys.select(key).dropDuplicates([key]).persist()
+    try:
+        with _writer_lock(target_dir):
+            snap0 = _current_snapshot(target_dir)
+            if snap0 is None:
+                return {"rows_deleted": 0, "partitions_rewritten": 0}
+            current = spark.read.parquet(snap0)
+            if partition_by:
+                touched_rows = (
+                    current.select(key, *partition_by)
+                    .join(keys, key, "left_semi")
+                )
+                touched = [
+                    tuple(r[c] for c in partition_by)
+                    for r in touched_rows.select(*partition_by)
+                    .distinct()
+                    .collect()
+                ]
+                n_deleted = touched_rows.count()
+                if not touched:
+                    return {"rows_deleted": 0, "partitions_rewritten": 0}
+                pred = functools.reduce(
+                    operator.or_,
+                    [
+                        functools.reduce(
+                            operator.and_,
+                            [
+                                F.col(c) == F.lit(v)
+                                for c, v in zip(partition_by, t)
+                            ],
+                        )
+                        for t in touched
+                    ],
+                )
+                remaining = current.where(pred).join(keys, key, "left_anti")
+                snap_name = f"snapshot_{uuid.uuid4().hex[:12]}"
+                snap_path = os.path.join(target_dir, snap_name)
+                shutil.copytree(snap0, snap_path, copy_function=os.link)
+                try:
+                    for t in touched:
+                        d = os.path.join(
+                            snap_path,
+                            *[f"{c}={v}" for c, v in zip(partition_by, t)],
+                        )
+                        shutil.rmtree(d, ignore_errors=True)
+                    remaining.write.mode("append").partitionBy(
+                        *partition_by
+                    ).parquet(snap_path)
+                except BaseException:
+                    shutil.rmtree(snap_path, ignore_errors=True)
+                    raise
+                _swap_pointer(
+                    target_dir, snap_name, expect=os.path.basename(snap0)
+                )
+                _gc_snapshots(
+                    target_dir,
+                    keep={snap_name, os.path.basename(snap0)},
+                )
+                return {
+                    "rows_deleted": n_deleted,
+                    "partitions_rewritten": len(touched),
+                }
+            n_deleted = current.join(keys, key, "left_semi").count()
+            if n_deleted == 0:
+                return {"rows_deleted": 0, "partitions_rewritten": 0}
+            remaining = current.join(keys, key, "left_anti")
+            if remaining.isEmpty():
+                # an empty frame writes ZERO part files (unreadable
+                # schema) unless it carries at least one partition
+                remaining = remaining.repartition(1)
+            snap_name = f"snapshot_{uuid.uuid4().hex[:12]}"
+            snap_path = os.path.join(target_dir, snap_name)
+            try:
+                remaining.write.mode("overwrite").parquet(snap_path)
+            except BaseException:
+                shutil.rmtree(snap_path, ignore_errors=True)
+                raise
+            _swap_pointer(
+                target_dir, snap_name, expect=os.path.basename(snap0)
+            )
+            _gc_snapshots(
+                target_dir, keep={snap_name, os.path.basename(snap0)}
+            )
+            return {"rows_deleted": n_deleted, "partitions_rewritten": 0}
+    finally:
+        keys.unpersist()

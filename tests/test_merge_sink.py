@@ -341,3 +341,83 @@ def test_snapshot_changes_ignores_stray_snapshot(spark, tmp_path):
         for r in snapshot_changes(spark, target).collect()
     }
     assert rows == {(2, "changed")}  # lineage diff; stray invisible
+
+
+def test_delete_keys_unpartitioned_and_cdc(spark, tmp_path):
+    """Keyed DELETE completes the MERGE surface: idempotent, CAS-
+    published, and visible as 'deleted' in the CDC diff. Deleting the
+    last row leaves a READABLE empty table (the zero-part-file pitfall
+    the empty-batch upsert guard documents)."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        delete_keys,
+        read_table,
+        snapshot_changes,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "surrogate_id int, v string"
+    )
+    upsert_parquet(spark, df, target)
+    keys = spark.createDataFrame([(2,), (99,)], "surrogate_id int")
+    m = delete_keys(spark, keys, target)
+    assert m == {"rows_deleted": 1, "partitions_rewritten": 0}
+    assert sorted(r.v for r in read_table(spark, target).collect()) == ["a", "c"]
+    # CDC sees the delete
+    ch = {
+        (r.surrogate_id, r.change_type)
+        for r in snapshot_changes(spark, target).collect()
+    }
+    assert ch == {(2, "deleted")}
+    # replay converges (idempotent no-op)
+    assert delete_keys(spark, keys, target)["rows_deleted"] == 0
+    # deleting everything leaves a readable empty table
+    rest = spark.createDataFrame([(1,), (3,)], "surrogate_id int")
+    assert delete_keys(spark, rest, target)["rows_deleted"] == 2
+    out = read_table(spark, target)
+    assert out.count() == 0 and set(out.columns) == {"surrogate_id", "v"}
+
+
+def test_delete_keys_partition_scoped_empties_partition(spark, tmp_path):
+    """Partition-scoped delete rewrites ONLY touched partitions and
+    handles the partition-emptying case (dynamic overwrite would have
+    silently kept an emptied partition's old rows — this path removes
+    the touched dirs from the hard-linked copy and appends survivors)."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        delete_keys,
+        read_table,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 2023, "a"), (2, 2023, "b"), (3, 2024, "c"), (4, 2025, "d")],
+        "surrogate_id int, ano int, v string",
+    )
+    upsert_parquet(spark, df, target, partition_by=["ano"])
+    # delete BOTH 2023 rows (empties the partition) and one 2024 row
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "surrogate_id int")
+    m = delete_keys(spark, keys, target, partition_by=["ano"])
+    assert m == {"rows_deleted": 3, "partitions_rewritten": 2}
+    rows = {(r.surrogate_id, r.ano, r.v) for r in read_table(spark, target).collect()}
+    assert rows == {(4, 2025, "d")}
+
+
+def test_delete_keys_cli(spark, tmp_path, capsys):
+    from gov_ec_pipeline_etl_spark.cli import main
+    from gov_ec_pipeline_etl_spark.sinks.upsert import read_table, upsert_parquet
+
+    target = str(tmp_path / "tbl")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "surrogate_id int, v string"),
+        target,
+    )
+    kp = str(tmp_path / "keys")
+    spark.createDataFrame([(1,)], "surrogate_id int").write.parquet(kp)
+    import json as _json
+
+    assert main(["table", "delete", target, "--keys", kp]) == 0
+    assert _json.loads(capsys.readouterr().out.strip())["rows_deleted"] == 1
+    assert [r.v for r in read_table(spark, target).collect()] == ["b"]
