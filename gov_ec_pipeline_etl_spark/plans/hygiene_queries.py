@@ -198,3 +198,62 @@ def u48_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return editdist_verify_pairs(docs, variants)
+
+
+# ---------------------------------------------------------------------------
+# u60: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+    WITH qi AS (
+      SELECT lang, source, (n_chars // 500) AS len_band
+      FROM documents
+    ),
+    groups AS (
+      SELECT lang, source, len_band, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_docs < {_KANON_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS groups_lt_k,
+           CAST(SUM(CASE WHEN n_docs < {_KANON_K} THEN n_docs ELSE 0 END)
+                AS BIGINT) AS docs_at_risk,
+           CAST(MIN(n_docs) AS BIGINT) AS min_group
+    FROM groups GROUP BY lang, source
+"""
+
+
+@register(
+    "u60_k_anonymity",
+    oracle=_KANON_ORACLE,
+    doc="k-anonymity audit (Sweeney 2002) over the quasi-identifier "
+    "tuple (lang, source, 500-char length band): a document whose QI "
+    "group holds fewer than k=5 members is re-identifiable by joining "
+    "on attributes that survive PII redaction — the privacy risk u45's "
+    "regex scrub cannot see. Emits per-(lang, source) group counts, "
+    "sub-k group counts, at-risk document mass, and the smallest group "
+    "(the generalization signal: coarsen the attribute whose marginal "
+    "removes the most sub-k groups). Scale shape: ONE aggregation over "
+    "a three-column projection, then a grouping of group rows — "
+    "output is attribute-cardinality-scale, never data-scale; integer "
+    "arithmetic end to end.",
+    tags=("privacy", "hygiene", "k-anonymity", "llm-pipeline"),
+)
+def u60_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qi = T(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 500").alias("len_band")
+    )
+    groups = qi.groupBy("lang", "source", "len_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    lt_k = F.when(F.col("n_docs") < _KANON_K, 1).otherwise(0)
+    at_risk = F.when(F.col("n_docs") < _KANON_K, F.col("n_docs")).otherwise(0)
+    return groups.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(lt_k).cast("bigint").alias("groups_lt_k"),
+        F.sum(at_risk).cast("bigint").alias("docs_at_risk"),
+        F.min("n_docs").cast("bigint").alias("min_group"),
+    )

@@ -409,3 +409,13 @@ def test_zorder_audit_single_scan_single_agg(spark):
     assert "SortMergeJoin" not in plan
     # orders is scanned once for coords, once for the 1-row bounds agg
     assert plan.count("FileScan") == 2, plan[:800]
+
+
+def test_k_anonymity_two_aggregations_one_scan(spark):
+    """u60: QI group sizes then a group-of-groups — one data-scale
+    exchange plus a group-cardinality-scale one, one column-pruned
+    scan, no Python nodes."""
+    plan = _plan(spark, "u60_k_anonymity")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:800]
+    assert plan.count("FileScan") == 1
+    assert "pythonUDF" not in plan
