@@ -703,3 +703,63 @@ def delete_keys(
             return {"rows_deleted": n_deleted, "partitions_rewritten": 0}
     finally:
         keys.unpersist()
+
+
+def drop_partitions(
+    spark: SparkSession,
+    target_dir: str,
+    partition_by: list[str],
+    keep: "F.Column | str",
+) -> dict[str, int]:
+    """Retention enforcement as a METADATA operation: drop every
+    partition whose values fail the ``keep`` predicate (e.g.
+    ``F.col('ano') >= 2020``) without scanning or rewriting any data —
+    the new snapshot hard-links only the surviving partition
+    directories, so the cost is O(#partitions), not O(table). The
+    standard TTL job at 100 TB (Delta/Iceberg spell it
+    ``DELETE WHERE <partition predicate>`` + vacuum; here the deferred
+    snapshot GC is the vacuum). Published under the same flock + CAS
+    contract; dropped rows surface as ``deleted`` in
+    ``snapshot_changes``. The predicate must reference partition
+    columns only — it is evaluated against the partition VALUES
+    directory listing, never against rows."""
+    if isinstance(keep, str):
+        keep = F.expr(keep)
+    with _writer_lock(target_dir):
+        snap0 = _current_snapshot(target_dir)
+        if snap0 is None:
+            return {"partitions_dropped": 0, "partitions_kept": 0}
+        # partition tuples from the DIRECTORY layout (no data read):
+        # spark reads only footers/schema lazily; select the partition
+        # columns distinct — column-pruned to zero data columns, and at
+        # worst footer-metadata-bounded
+        tuples = (
+            spark.read.parquet(snap0)
+            .select(*partition_by)
+            .distinct()
+            .withColumn("__keep", keep)
+            .collect()
+        )
+        keep_t = [t for t in tuples if t["__keep"]]
+        drop_t = [t for t in tuples if not t["__keep"]]
+        if not drop_t:
+            return {"partitions_dropped": 0, "partitions_kept": len(keep_t)}
+        snap_name = f"snapshot_{uuid.uuid4().hex[:12]}"
+        snap_path = os.path.join(target_dir, snap_name)
+        try:
+            shutil.copytree(snap0, snap_path, copy_function=os.link)
+            for t in drop_t:
+                d = os.path.join(
+                    snap_path,
+                    *[f"{c}={t[c]}" for c in partition_by],
+                )
+                shutil.rmtree(d, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(snap_path, ignore_errors=True)
+            raise
+        _swap_pointer(target_dir, snap_name, expect=os.path.basename(snap0))
+        _gc_snapshots(target_dir, keep={snap_name, os.path.basename(snap0)})
+        return {
+            "partitions_dropped": len(drop_t),
+            "partitions_kept": len(keep_t),
+        }

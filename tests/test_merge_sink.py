@@ -421,3 +421,58 @@ def test_delete_keys_cli(spark, tmp_path, capsys):
     assert main(["table", "delete", target, "--keys", kp]) == 0
     assert _json.loads(capsys.readouterr().out.strip())["rows_deleted"] == 1
     assert [r.v for r in read_table(spark, target).collect()] == ["b"]
+
+
+def test_drop_partitions_retention(spark, tmp_path):
+    """Retention as metadata: partitions failing the keep predicate
+    vanish without any data rewrite (surviving files are hard-linked,
+    byte-identical inodes); drops surface as 'deleted' in the CDC
+    diff; replay is a no-op."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        _current_snapshot,
+        drop_partitions,
+        read_table,
+        snapshot_changes,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 2019, "old"), (2, 2023, "b"), (3, 2024, "c")],
+        "surrogate_id int, ano int, v string",
+    )
+    upsert_parquet(spark, df, target, partition_by=["ano"])
+    snap_before = _current_snapshot(target)
+    kept_file_inodes = {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _, fs in os.walk(os.path.join(snap_before, "ano=2023"))
+        for f in fs
+    }
+
+    m = drop_partitions(spark, target, ["ano"], F.col("ano") >= 2020)
+    assert m == {"partitions_dropped": 1, "partitions_kept": 2}
+    rows = {(r.surrogate_id, r.ano) for r in read_table(spark, target).collect()}
+    assert rows == {(2, 2023), (3, 2024)}
+    # surviving partition files are the SAME inodes (no rewrite)
+    snap_after = _current_snapshot(target)
+    after_inodes = {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _, fs in os.walk(os.path.join(snap_after, "ano=2023"))
+        for f in fs
+    }
+    assert kept_file_inodes & after_inodes
+    # CDC sees the retention drop
+    ch = {
+        (r.surrogate_id, r.change_type)
+        for r in snapshot_changes(spark, target).collect()
+    }
+    assert ch == {(1, "deleted")}
+    # idempotent replay
+    assert drop_partitions(spark, target, ["ano"], F.col("ano") >= 2020) == {
+        "partitions_dropped": 0,
+        "partitions_kept": 2,
+    }
