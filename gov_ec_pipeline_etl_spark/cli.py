@@ -385,7 +385,7 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot inventory) and changes (CDC diff of the last merge: "
         "inserted / deleted / changed keys)",
     )
-    pt.add_argument("action", choices=["history", "changes", "delete"])
+    pt.add_argument("action", choices=["history", "changes", "delete", "retain"])
     pt.add_argument("target", help="upsert target directory")
     pt.add_argument("--key", default="surrogate_id")
     pt.add_argument(
@@ -398,7 +398,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     pt.add_argument(
         "--partition-by", default=None,
-        help="delete: comma-separated partition columns (scoped rewrite)",
+        help="delete/retain: comma-separated partition columns",
+    )
+    pt.add_argument(
+        "--keep", default=None,
+        help="retain: SQL predicate over partition columns; partitions "
+        "failing it are dropped as metadata (no data rewrite)",
     )
 
     # reference get_status {object|compose}: pull any object over HTTP
@@ -572,12 +577,26 @@ def main(argv: list[str] | None = None) -> int:
         from gov_ec_pipeline_etl_spark.session import get_spark
         from gov_ec_pipeline_etl_spark.sinks.upsert import (
             delete_keys,
+            drop_partitions,
             snapshot_changes,
             snapshot_history,
         )
 
         if args.action == "history":
             print(json.dumps(snapshot_history(args.target)))
+            return 0
+        if args.action == "retain":
+            if not (args.keep and args.partition_by):
+                print(
+                    "table retain requires --keep and --partition-by",
+                    file=sys.stderr,
+                )
+                return 2
+            spark = get_spark("table-retain")
+            m = drop_partitions(
+                spark, args.target, args.partition_by.split(","), args.keep
+            )
+            print(json.dumps(m))
             return 0
         if args.action == "delete":
             if not args.keys:

@@ -476,3 +476,26 @@ def test_drop_partitions_retention(spark, tmp_path):
         "partitions_dropped": 0,
         "partitions_kept": 2,
     }
+
+
+def test_retain_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from gov_ec_pipeline_etl_spark.cli import main
+    from gov_ec_pipeline_etl_spark.sinks.upsert import read_table, upsert_parquet
+
+    target = str(tmp_path / "tbl")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [(1, 2019, "old"), (2, 2024, "new")],
+            "surrogate_id int, ano int, v string",
+        ),
+        target,
+        partition_by=["ano"],
+    )
+    assert main(
+        ["table", "retain", target, "--partition-by", "ano", "--keep", "ano >= 2020"]
+    ) == 0
+    assert _json.loads(capsys.readouterr().out.strip())["partitions_dropped"] == 1
+    assert [r.v for r in read_table(spark, target).collect()] == ["new"]
