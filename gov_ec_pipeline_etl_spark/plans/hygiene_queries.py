@@ -257,3 +257,93 @@ def u60_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(at_risk).cast("bigint").alias("docs_at_risk"),
         F.min("n_docs").cast("bigint").alias("min_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u61: keyed pseudonymization with referential-integrity proof
+# ---------------------------------------------------------------------------
+
+_PSEUDO_SEED = 61
+
+
+def _u61_oracle(sf_dir: str) -> str:
+    from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64_sql
+
+    pc = portable_hash64_sql("CAST(c_custkey AS VARCHAR)", seed=_PSEUDO_SEED)
+    po = portable_hash64_sql("CAST(o_custkey AS VARCHAR)", seed=_PSEUDO_SEED)
+    return f"""
+    WITH c AS (SELECT c_custkey, {pc} AS p FROM customer),
+    o AS (SELECT o_custkey, {po} AS p FROM orders),
+    pre AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    post AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM o JOIN c USING (p)
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT c_custkey) FROM c) AS BIGINT)
+             AS n_ids,
+           CAST((SELECT COUNT(DISTINCT p) FROM c) AS BIGINT) AS n_pseudo,
+           (SELECT n FROM pre) AS join_rows_pre,
+           (SELECT n FROM post) AS join_rows_post,
+           (SELECT n FROM pre) = (SELECT n FROM post) AS joins_preserved
+    """
+
+
+@register(
+    "u61_pseudonymize_integrity",
+    oracle=_u61_oracle,
+    doc="Keyed pseudonymization with a referential-integrity proof: "
+    "customer ids on BOTH sides of the orders⋈customer relationship "
+    "are replaced by the seeded portable hash (deterministic, so "
+    "repeated pipeline runs assign stable pseudonyms without a mapping "
+    "table to protect), then the audit asserts (a) no collisions "
+    "(distinct pseudonyms == distinct ids) and (b) the join mass is "
+    "byte-identical pre/post — the property that lets downstream "
+    "analytics run on de-identified data. The GDPR-pipeline complement "
+    "of u45 (content PII) and u60 (quasi-identifier risk). Scale "
+    "shape: hashes are projections, the audit is two key joins + "
+    "distinct counts; at 100 TB the keyed-hash form is exactly how "
+    "production pseudonymization avoids a giant lookup table.",
+    tags=("privacy", "hygiene", "pseudonymization", "llm-pipeline"),
+)
+def u61_pseudonymize_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        portable_hash64(
+            F.col("c_custkey").cast("string"), seed=_PSEUDO_SEED
+        ).alias("p"),
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        portable_hash64(
+            F.col("o_custkey").cast("string"), seed=_PSEUDO_SEED
+        ).alias("p"),
+    )
+    # fully declarative: the three audit legs are 1-row aggregates
+    # cross-joined broadcast — no action at plan-construction time
+    # (the s02 footer-sizing lesson: enumeration must not run jobs)
+    pre = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("join_rows_pre"))
+    )
+    post = (
+        orders.select("p")
+        .join(cust.select("p"), "p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("join_rows_post"))
+    )
+    stats = cust.agg(
+        F.count_distinct("c_custkey").cast("bigint").alias("n_ids"),
+        F.count_distinct("p").cast("bigint").alias("n_pseudo"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(pre))
+        .crossJoin(F.broadcast(post))
+        .withColumn(
+            "joins_preserved",
+            F.col("join_rows_pre") == F.col("join_rows_post"),
+        )
+    )
