@@ -591,6 +591,25 @@ def snapshot_changes(
     )
 
 
+def _partition_dirname(col: str, value) -> str:
+    """``col=value`` as Spark's partitioned writer lays it out. Spark
+    URL-escapes special characters in partition VALUES; the directory
+    surgery in delete_keys/drop_partitions renders names with plain
+    str(), so values needing escaping are rejected loudly rather than
+    silently missing their directory (for such values use the
+    unpartitioned delete path, which never touches directory names)."""
+    s = str(value)
+    if s == "" or any(
+        ch in s for ch in "%/\\:=#?{}[]^`\"'<>|* \t\n"
+    ):
+        raise ValueError(
+            f"partition value {value!r} for {col!r} needs filesystem "
+            "escaping; partition-scoped directory surgery would miss "
+            "its dir — use the unpartitioned path (no partition_by)"
+        )
+    return f"{col}={s}"
+
+
 def delete_keys(
     spark: SparkSession,
     keys: DataFrame,
@@ -659,7 +678,7 @@ def delete_keys(
                     for t in touched:
                         d = os.path.join(
                             snap_path,
-                            *[f"{c}={v}" for c, v in zip(partition_by, t)],
+                            *[_partition_dirname(c, v) for c, v in zip(partition_by, t)],
                         )
                         shutil.rmtree(d, ignore_errors=True)
                     remaining.write.mode("append").partitionBy(
@@ -751,7 +770,7 @@ def drop_partitions(
             for t in drop_t:
                 d = os.path.join(
                     snap_path,
-                    *[f"{c}={t[c]}" for c in partition_by],
+                    *[_partition_dirname(c, t[c]) for c in partition_by],
                 )
                 shutil.rmtree(d, ignore_errors=True)
         except BaseException:

@@ -499,3 +499,27 @@ def test_retain_cli(spark, tmp_path, capsys):
     ) == 0
     assert _json.loads(capsys.readouterr().out.strip())["partitions_dropped"] == 1
     assert [r.v for r in read_table(spark, target).collect()] == ["new"]
+
+
+def test_partition_dir_surgery_rejects_escaped_values(spark, tmp_path):
+    """Spark URL-escapes special chars in partition directory names;
+    the scoped delete/retention paths do directory surgery with plain
+    names, so values needing escaping must be rejected loudly (silent
+    miss = undeleted rows), with the unpartitioned path as the remedy."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        delete_keys,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a b", "x")], "surrogate_id int, prov string, v string"
+    )
+    upsert_parquet(spark, df, target, partition_by=["prov"])
+    keys = spark.createDataFrame([(1,)], "surrogate_id int")
+    with pytest.raises(ValueError, match="needs filesystem escaping"):
+        delete_keys(spark, keys, target, partition_by=["prov"])
+    # the unpartitioned remedy works
+    assert delete_keys(spark, keys, target)["rows_deleted"] == 1
