@@ -187,6 +187,13 @@ def _ivm_cmd(args) -> int:
     from gov_ec_pipeline_etl_spark.operators import ivm
     from gov_ec_pipeline_etl_spark.session import get_spark
 
+    if args.action in ("init", "apply", "verify") and not args.data:
+        print(
+            f"ivm {args.action} requires a data path (parquet to "
+            f"{'seed from' if args.action == 'init' else 'apply/check'})",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("gov-ec-pipeline-etl-ivm")
     keys = [k for k in args.keys.split(",") if k]
     sums = dict(kv.split("=", 1) for kv in args.sums.split(",") if kv)

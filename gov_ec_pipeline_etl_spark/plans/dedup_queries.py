@@ -249,7 +249,12 @@ def _simhash_group_oracle(
     oracle=_simhash_oracle(),
     doc="SimHash near-dup pairs: 60-bit majority-vote fingerprint over "
     "token hashes, chunk-LSH candidates (4×15-bit segments), Hamming ≤ 8 "
-    "verify. Oracle recomputes the full bit math in SQL.",
+    "verify. Oracle recomputes the full bit math in SQL. This is the "
+    "PARITY form (doc-level pairs, fixed chunks=4/max_hamming=8, exact "
+    "small-scale oracle); production corpora — especially low-diversity "
+    "ones where identical fingerprints explode doc-level pair counts — "
+    "should run u18_simhash_groups, whose density guard bounds output "
+    "by distinct-fingerprint candidate pairs (130.8M→bounded at sf1).",
     tags=("dedup", "simhash", "lsh", "llm-pipeline"),
 )
 def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

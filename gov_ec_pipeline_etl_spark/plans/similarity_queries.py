@@ -956,6 +956,11 @@ def u57_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_label") == F.col("label"),
         )
         .select("query_id", (F.col("n_lab") - 1).alias("n_rel"))
+        # a probe whose label has NO other member (n_rel=0) has no
+        # defined ideal ranking: idcg=0 would make ndcg10 NaN here
+        # while the oracle's inner label self-join drops the query —
+        # exclude it on this side too (same contract as the oracle)
+        .where(F.col("n_rel") > 0)
     )
     idcg = F.lit(0.0)
     for i in range(10):

@@ -229,7 +229,19 @@ def _upsert_parquet(
         # from — found by the merge-convergence property test)
         return {"rows_upserted": 0, "rows_matched": 0, "rows_inserted": 0}
 
-    if current is not None and partition_by and not allow_partition_move:
+    # the partition-scoped merge hard-links partition DIRECTORIES; the
+    # empty-table fallback snapshot (written when a delete/retention
+    # empties every partition) is a single unpartitioned file, so a
+    # scoped merge would link that root file next to new partition dirs
+    # — a mixed layout parquet partition discovery rejects. Route such
+    # snapshots through the full rewrite (the table is empty; it costs
+    # the same) which publishes a properly partitioned snapshot again.
+    if (
+        current is not None
+        and partition_by
+        and not allow_partition_move
+        and _has_partition_dirs(snap0)
+    ):
         metrics = _merge_touched_partitions(
             spark, updates, target_dir, key, partition_by, n_updates
         )
@@ -591,13 +603,22 @@ def snapshot_changes(
     )
 
 
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
 def _partition_dirname(col: str, value) -> str:
-    """``col=value`` as Spark's partitioned writer lays it out. Spark
+    """``col=value`` as Spark's partitioned writer lays it out
+    (ExternalCatalogUtils semantics): null → __HIVE_DEFAULT_PARTITION__,
+    booleans lowercase (``true``/``false``), dates ISO. Spark
     URL-escapes special characters in partition VALUES; the directory
     surgery in delete_keys/drop_partitions renders names with plain
     str(), so values needing escaping are rejected loudly rather than
     silently missing their directory (for such values use the
     unpartitioned delete path, which never touches directory names)."""
+    if value is None:
+        return f"{col}={_HIVE_DEFAULT_PARTITION}"
+    if isinstance(value, bool):
+        return f"{col}={'true' if value else 'false'}"
     s = str(value)
     if s == "" or any(
         ch in s for ch in "%/\\:=#?{}[]^`\"'<>|* \t\n"
@@ -608,6 +629,44 @@ def _partition_dirname(col: str, value) -> str:
             "its dir — use the unpartitioned path (no partition_by)"
         )
     return f"{col}={s}"
+
+
+def _has_data_files(path: str) -> bool:
+    """True if any parquet data file exists under ``path`` (recursively;
+    ``_SUCCESS``/dot-files don't count). A snapshot with zero data files
+    cannot be re-read — parquet has no schema to infer from."""
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                return True
+    return False
+
+
+def _has_partition_dirs(path: str) -> bool:
+    """True if the snapshot is PHYSICALLY partitioned (has ``col=value``
+    subdirectories). The empty-table fallback snapshot is a single
+    unpartitioned file; partition-directory surgery must not assume
+    dirs that aren't there."""
+    with contextlib.suppress(OSError):
+        return any(
+            "=" in name
+            and os.path.isdir(os.path.join(path, name))
+            for name in os.listdir(path)
+        )
+    return False
+
+
+def _write_empty_snapshot(spark: SparkSession, schema, snap_path: str) -> None:
+    """Replace ``snap_path`` with a single-file parquet holding zero
+    rows and the full table schema (partition columns materialized as
+    data columns) — the same remedy as the unpartitioned delete path's
+    repartition(1) guard. Without it, a delete/retention that empties
+    every partition would publish a zero-file snapshot that
+    spark.read.parquet cannot infer a schema from."""
+    shutil.rmtree(snap_path, ignore_errors=True)
+    spark.createDataFrame([], schema).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(snap_path)
 
 
 def delete_keys(
@@ -643,7 +702,10 @@ def delete_keys(
             if snap0 is None:
                 return {"rows_deleted": 0, "partitions_rewritten": 0}
             current = spark.read.parquet(snap0)
-            if partition_by:
+            # partition surgery requires the snapshot to PHYSICALLY
+            # have partition dirs; the empty-table fallback (and any
+            # unpartitioned layout) takes the full-rewrite path below
+            if partition_by and _has_partition_dirs(snap0):
                 touched_rows = (
                     current.select(key, *partition_by)
                     .join(keys, key, "left_semi")
@@ -657,13 +719,16 @@ def delete_keys(
                 n_deleted = touched_rows.count()
                 if not touched:
                     return {"rows_deleted": 0, "partitions_rewritten": 0}
+                # eqNullSafe: a null partition value must select its
+                # partition's rows, not evaluate to null and silently
+                # drop the survivors from the append-back
                 pred = functools.reduce(
                     operator.or_,
                     [
                         functools.reduce(
                             operator.and_,
                             [
-                                F.col(c) == F.lit(v)
+                                F.col(c).eqNullSafe(F.lit(v))
                                 for c, v in zip(partition_by, t)
                             ],
                         )
@@ -684,6 +749,11 @@ def delete_keys(
                     remaining.write.mode("append").partitionBy(
                         *partition_by
                     ).parquet(snap_path)
+                    if not _has_data_files(snap_path):
+                        # every partition was touched AND emptied: the
+                        # append wrote zero part files — publishable
+                        # snapshots must stay readable
+                        _write_empty_snapshot(spark, current.schema, snap_path)
                 except BaseException:
                     shutil.rmtree(snap_path, ignore_errors=True)
                     raise
@@ -759,10 +829,24 @@ def drop_partitions(
             .withColumn("__keep", keep)
             .collect()
         )
+        for t in tuples:
+            if t["__keep"] is None:
+                # a null verdict (e.g. F.col('ano') >= 2020 on a null
+                # partition) is neither keep nor drop — silently
+                # dropping would delete data the predicate never
+                # decided on; make retention policies explicit about
+                # nulls (coalesce / isNotNull in the predicate)
+                vals = {c: t[c] for c in partition_by}
+                raise ValueError(
+                    f"retention predicate returned NULL for partition "
+                    f"{vals}; wrap it so every partition gets an "
+                    "explicit true/false verdict"
+                )
         keep_t = [t for t in tuples if t["__keep"]]
         drop_t = [t for t in tuples if not t["__keep"]]
         if not drop_t:
             return {"partitions_dropped": 0, "partitions_kept": len(keep_t)}
+        schema = spark.read.parquet(snap0).schema
         snap_name = f"snapshot_{uuid.uuid4().hex[:12]}"
         snap_path = os.path.join(target_dir, snap_name)
         try:
@@ -773,6 +857,10 @@ def drop_partitions(
                     *[_partition_dirname(c, t[c]) for c in partition_by],
                 )
                 shutil.rmtree(d, ignore_errors=True)
+            if not _has_data_files(snap_path):
+                # every partition failed retention: keep the snapshot
+                # readable (schema-bearing empty file, not zero files)
+                _write_empty_snapshot(spark, schema, snap_path)
         except BaseException:
             shutil.rmtree(snap_path, ignore_errors=True)
             raise

@@ -523,3 +523,121 @@ def test_partition_dir_surgery_rejects_escaped_values(spark, tmp_path):
         delete_keys(spark, keys, target, partition_by=["prov"])
     # the unpartitioned remedy works
     assert delete_keys(spark, keys, target)["rows_deleted"] == 1
+
+def test_delete_keys_null_and_boolean_partitions(spark, tmp_path):
+    """Null and boolean partition values must delete correctly: Spark
+    writes them as __HIVE_DEFAULT_PARTITION__ / 'true', so a str(None)
+    / str(True) dirname would silently miss the directory while
+    reporting rows_deleted (ADVICE r5, high). The predicate must also
+    be null-safe or the emptied partition's survivors vanish."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        delete_keys,
+        read_table,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "EC", "c")],
+        "surrogate_id int, prov string, v string",
+    )
+    upsert_parquet(spark, df, target, partition_by=["prov"])
+    keys = spark.createDataFrame([(1,)], "surrogate_id int")
+    m = delete_keys(spark, keys, target, partition_by=["prov"])
+    assert m == {"rows_deleted": 1, "partitions_rewritten": 1}
+    rows = {(r.surrogate_id, r.prov, r.v) for r in read_table(spark, target).collect()}
+    # row 2 (same null partition, not targeted) must SURVIVE
+    assert rows == {(2, None, "b"), (3, "EC", "c")}
+
+    # boolean partition: Spark lays out prov_active=true / =false
+    target2 = str(tmp_path / "tbl2")
+    df2 = spark.createDataFrame(
+        [(1, True, "a"), (2, False, "b")],
+        "surrogate_id int, active boolean, v string",
+    )
+    upsert_parquet(spark, df2, target2, partition_by=["active"])
+    m2 = delete_keys(
+        spark,
+        spark.createDataFrame([(1,)], "surrogate_id int"),
+        target2,
+        partition_by=["active"],
+    )
+    assert m2["rows_deleted"] == 1
+    assert [r.v for r in read_table(spark, target2).collect()] == ["b"]
+
+
+def test_delete_keys_empties_whole_partitioned_table(spark, tmp_path):
+    """Emptying EVERY partition must still publish a readable snapshot
+    (the append writes zero part files — ADVICE r5, medium), and a
+    later partitioned upsert onto the empty table must work (the
+    fallback snapshot is physically unpartitioned; the scoped merge
+    must not hard-link its root file next to new partition dirs)."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        delete_keys,
+        read_table,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 2023, "a"), (2, 2024, "b")], "surrogate_id int, ano int, v string"
+    )
+    upsert_parquet(spark, df, target, partition_by=["ano"])
+    keys = spark.createDataFrame([(1,), (2,)], "surrogate_id int")
+    m = delete_keys(spark, keys, target, partition_by=["ano"])
+    assert m["rows_deleted"] == 2
+    out = read_table(spark, target)
+    assert out.count() == 0
+    assert set(out.columns) == {"surrogate_id", "ano", "v"}
+    # the table comes back to life partitioned
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(9, 2025, "z")], "surrogate_id int, ano int, v string"),
+        target,
+        partition_by=["ano"],
+    )
+    rows = {(r.surrogate_id, r.ano, r.v) for r in read_table(spark, target).collect()}
+    assert rows == {(9, 2025, "z")}
+    # and partition surgery works again on the reborn table
+    assert delete_keys(
+        spark,
+        spark.createDataFrame([(9,)], "surrogate_id int"),
+        target,
+        partition_by=["ano"],
+    )["rows_deleted"] == 1
+    assert read_table(spark, target).count() == 0
+
+
+def test_drop_partitions_null_verdict_and_total_drop(spark, tmp_path):
+    """A retention predicate that returns NULL for a partition (e.g.
+    ano >= 2020 on a null ano) must error, not silently drop; and
+    dropping every partition must leave a readable empty table."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        drop_partitions,
+        read_table,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "tbl")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [(1, None, "a"), (2, 2024, "b")], "surrogate_id int, ano int, v string"
+        ),
+        target,
+        partition_by=["ano"],
+    )
+    with pytest.raises(ValueError, match="returned NULL"):
+        drop_partitions(spark, target, ["ano"], F.col("ano") >= 2020)
+    # table untouched by the failed retention
+    assert read_table(spark, target).count() == 2
+    # explicit-null policy works and can empty the table
+    m = drop_partitions(
+        spark, target, ["ano"], F.coalesce(F.col("ano") >= 3000, F.lit(False))
+    )
+    assert m == {"partitions_dropped": 2, "partitions_kept": 0}
+    out = read_table(spark, target)
+    assert out.count() == 0
+    assert set(out.columns) == {"surrogate_id", "ano", "v"}

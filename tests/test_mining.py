@@ -272,6 +272,10 @@ def test_ivm_cli_wiring(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     res = _json.loads(out[-1])
     assert res["ok"] and res["mismatched_cells"] == 0
+    # omitting the data path is a usage error (exit 2), not a traceback
+    for action in ("init", "apply", "verify"):
+        assert cli_main(["ivm", action, store]) == 2
+    assert "requires a data path" in capsys.readouterr().err
 
 
 def test_time_rollup_grain_consistency(spark):
