@@ -133,6 +133,110 @@ def duplicated_span_mass(
     )
 
 
+def substring_run_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_len: int = 20,
+    max_occ: int = 64,
+) -> DataFrame:
+    """Cross-document EXACT substring duplication at >= ``min_len``
+    token granularity — the suffix-array dedup family of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed for a shared-nothing engine. A single-node suffix
+    array is replaced by its distributed equivalent: positional
+    ``k``-token ANCHORS indexed by content, then match EXTENSION along
+    pair diagonals — a run of consecutive anchor matches at constant
+    ``pos_a - pos_b`` offset is exactly a duplicated substring of
+    ``run_anchors + k - 1`` tokens, because overlapping k-grams
+    matching at successive positions pin every token in between.
+
+    Distinct from :func:`duplicated_span_mass` (u30: per-doc mass, no
+    pair attribution, no lengths) and from span decontamination (u33):
+    this reports, per document PAIR, the maximal shared runs — the
+    signal used to cut >=50-token clones that survive document-level
+    Jaccard.
+
+    Scale shape: no pairwise document work ever happens. One
+    id-partitioned window assembles anchors (whole-stage codegen
+    ``lead`` chain, no array lambdas); one anchor-keyed aggregate
+    keeps only CROSS-document anchors with total occurrence count
+    <= ``max_occ`` (single-doc anchors — the overwhelming mass of a
+    natural corpus — never reach the join, and the self-join fan-out
+    is bounded by ``max_occ**2`` per anchor, the same explicit DF-cut
+    contract as ``ngram_jaccard_pairs``); the diagonal-run window
+    partitions by (pair, diagonal) whose ``pos_a`` ordering is a total
+    order by construction (one anchor per position per doc). Output is
+    bounded by the candidate matches, not the corpus square.
+
+    Returns (id_a, id_b, n_runs, max_run_tokens, dup_tokens): runs of
+    >= ``min_len`` tokens only; ``dup_tokens`` sums maximal-run
+    lengths (overlapping repeats on different diagonals count once per
+    diagonal — the standard multiplicity of the method, mirrored by
+    the oracle)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = df.select(
+        F.col(id_col).alias("id"), norm.alias("norm")
+    ).select("id", F.posexplode(F.split("norm", " ")).alias("pos", "t"))
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("t", j).over(w) for j in range(1, k)]
+    sp = (
+        toks.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", F.col("t"), *leads).alias("s"),
+            leads[-1].isNotNull().alias("keep"),
+        )
+        .where("keep")
+        .drop("keep")
+    )
+    # anchor-keyed cut in ONE aggregate: cross-document (min!=max id)
+    # and occurrence-bounded. Persisted — it feeds both sides of the
+    # candidate self-join.
+    freq = sp.groupBy("s").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min("id").alias("mn"),
+        F.max("id").alias("mx"),
+    )
+    spf = (
+        sp.join(
+            freq.where(
+                (F.col("occ") <= max_occ) & (F.col("mn") != F.col("mx"))
+            ).select("s"),
+            "s",
+        )
+    ).persist()
+    a = spf.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "s"
+    )
+    b = spf.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "s"
+    )
+    cand = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b")
+    )
+    # islands on the diagonal: pos_a is unique within (pair, diag) —
+    # a fixed pos_a names one anchor, and a given diag names one pos_b
+    # — so the row_number ordering is total (window total-order rule)
+    w2 = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (
+        cand.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        .withColumn("grp", F.col("pos_a") - F.row_number().over(w2))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(k - 1)).alias("run_tokens"))
+        .where(F.col("run_tokens") >= min_len)
+    )
+    out = runs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_tokens").alias("max_run_tokens"),
+        F.sum("run_tokens").alias("dup_tokens"),
+    )
+    return hold(out, spf)
+
+
 def jaccard_verify(
     cand: DataFrame, rows: DataFrame, threshold: float, on: str = "s"
 ) -> DataFrame:

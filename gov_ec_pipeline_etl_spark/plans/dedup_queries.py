@@ -588,3 +588,75 @@ def d07_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text_jaccard"),
         )
     )
+
+
+def _substring_runs_oracle(
+    k: int = 5, min_len: int = 20, max_occ: int = 64
+) -> str:
+    return f"""
+        WITH corpus AS ({DIRTY_SQL}),
+        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+        sp AS (
+          SELECT doc_id, u.i AS pos,
+                 array_to_string(toks[u.i + 1:u.i + {k}], ' ') AS s
+          FROM toksed, UNNEST(range(len(toks) - {k} + 1)) AS u(i)
+          WHERE len(toks) >= {k}
+        ),
+        anchors AS (
+          SELECT s FROM sp GROUP BY s
+          HAVING COUNT(*) <= {max_occ} AND MIN(doc_id) <> MAX(doc_id)
+        ),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.pos AS pos_a, b.pos AS pos_b
+          FROM sp a JOIN anchors USING (s) JOIN sp b USING (s)
+          WHERE a.doc_id < b.doc_id
+        ),
+        runs AS (
+          SELECT id_a, id_b, COUNT(*) + {k} - 1 AS run_tokens
+          FROM (
+            SELECT id_a, id_b, pos_a, pos_a - pos_b AS diag,
+                   pos_a - ROW_NUMBER() OVER (
+                     PARTITION BY id_a, id_b, pos_a - pos_b
+                     ORDER BY pos_a
+                   ) AS grp
+            FROM cand
+          )
+          GROUP BY id_a, id_b, diag, grp
+          HAVING COUNT(*) + {k} - 1 >= {min_len}
+        )
+        SELECT id_a, id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
+               CAST(SUM(run_tokens) AS BIGINT) AS dup_tokens
+        FROM runs GROUP BY id_a, id_b
+    """
+
+
+@register(
+    "u62_substring_runs",
+    bench=True,
+    oracle=_substring_runs_oracle(),
+    doc="Exact cross-document substring dedup (suffix-array family, "
+    "Lee et al. 2022): maximal shared token runs >= 20 tokens per "
+    "document pair, found by positional 5-token anchors + diagonal-"
+    "island match extension — consecutive anchor matches at constant "
+    "pos offset pin a duplicated substring of run+k-1 tokens. "
+    "Completes the dedup tier beyond u30's span mass (no pair "
+    "attribution) and u33's decontamination (fixed span hits): this "
+    "reports WHICH pairs share WHAT lengths, the cut signal for "
+    ">=N-token clones that survive document-level Jaccard. One "
+    "anchor-keyed aggregate DF-cuts single-document anchors and "
+    "bounds self-join fan-out by max_occ^2 per anchor; the run window "
+    "partitions by (pair, diagonal) with a total pos order.",
+    tags=("dedup", "substring", "llm-pipeline"),
+)
+def u62_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        substring_run_pairs,
+    )
+
+    return substring_run_pairs(
+        _dirty_docs(spark, sf_dir), "doc_id", "text",
+        k=5, min_len=20, max_occ=64,
+    )

@@ -1757,3 +1757,47 @@ def test_minhash_probe_respects_portable_flag(spark):
     stored.unpersist()
     assert n_matched >= 1  # the planted dup of doc 7
     assert n_mismatched == 0  # wrong hash mode finds nothing
+
+
+def test_substring_runs_planted_lengths(spark):
+    """u62's diagonal-island extension recovers EXACT planted run
+    lengths: a 25-token block shared mid-document must report
+    max_run_tokens == 25 regardless of where it sits in either doc,
+    and two disjoint shared blocks must come back as two runs."""
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        substring_run_pairs,
+    )
+
+    blk = " ".join(f"s{i}" for i in range(25))        # 25-token clone
+    blk2 = " ".join(f"q{i}" for i in range(21))       # second clone
+    fill = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{fill('a', 7)} {blk} {fill('b', 9)} {blk2}"),
+            (2, f"{fill('c', 13)} {blk} {fill('d', 4)} {blk2} {fill('e', 3)}"),
+            (3, fill("z", 60)),                       # no overlap
+        ],
+        "doc_id int, text string",
+    )
+    with released(
+        substring_run_pairs(docs, "doc_id", "text", k=5, min_len=20)
+    ) as out:
+        rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.n_runs == 2
+    assert r.max_run_tokens == 25
+    assert r.dup_tokens == 25 + 21
+
+    # a shared run SHORTER than min_len reports nothing
+    short = " ".join(f"t{i}" for i in range(12))
+    docs2 = spark.createDataFrame(
+        [(1, f"{fill('a', 10)} {short}"), (2, f"{short} {fill('b', 10)}")],
+        "doc_id int, text string",
+    )
+    with released(
+        substring_run_pairs(docs2, "doc_id", "text", k=5, min_len=20)
+    ) as out2:
+        assert out2.count() == 0
