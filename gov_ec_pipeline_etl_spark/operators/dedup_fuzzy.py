@@ -133,7 +133,7 @@ def duplicated_span_mass(
     )
 
 
-def substring_run_pairs(
+def substring_runs(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -170,11 +170,13 @@ def substring_run_pairs(
     order by construction (one anchor per position per doc). Output is
     bounded by the candidate matches, not the corpus square.
 
-    Returns (id_a, id_b, n_runs, max_run_tokens, dup_tokens): runs of
-    >= ``min_len`` tokens only; ``dup_tokens`` sums maximal-run
-    lengths (overlapping repeats on different diagonals count once per
-    diagonal — the standard multiplicity of the method, mirrored by
-    the oracle)."""
+    Returns one row per MAXIMAL run of >= ``min_len`` tokens:
+    (id_a, id_b, start_a, start_b, run_tokens). Overlapping repeats on
+    different diagonals emit once per diagonal — the standard
+    multiplicity of the method, mirrored by the oracle.
+    :func:`substring_run_pairs` summarizes per pair;
+    :func:`substring_dedup_cut` turns the runs into the keep-earliest
+    corpus cut."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     toks = df.select(
         F.col(id_col).alias("id"), norm.alias("norm")
@@ -226,15 +228,107 @@ def substring_run_pairs(
         cand.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
         .withColumn("grp", F.col("pos_a") - F.row_number().over(w2))
         .groupBy("id_a", "id_b", "diag", "grp")
-        .agg((F.count(F.lit(1)) + F.lit(k - 1)).alias("run_tokens"))
+        .agg(
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("run_tokens"),
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+        )
         .where(F.col("run_tokens") >= min_len)
+        .select("id_a", "id_b", "start_a", "start_b", "run_tokens")
     )
+    return hold(runs, spf)
+
+
+def substring_run_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_len: int = 20,
+    max_occ: int = 64,
+) -> DataFrame:
+    """Per-document-PAIR summary of :func:`substring_runs`:
+    (id_a, id_b, n_runs, max_run_tokens, dup_tokens)."""
+    runs = substring_runs(df, id_col, text_col, k, min_len, max_occ)
     out = runs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_runs"),
         F.max("run_tokens").alias("max_run_tokens"),
         F.sum("run_tokens").alias("dup_tokens"),
     )
-    return hold(out, spf)
+    return hold(out, *getattr(runs, "_persisted_inputs", []))
+
+
+def substring_dedup_cut(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_len: int = 20,
+    max_occ: int = 64,
+) -> DataFrame:
+    """The dedup CUT of Lee et al. 2022: every token span duplicated
+    from an EARLIER document (smaller id) is marked for removal, and
+    each document reports how much of it survives. Keep-earliest is the
+    same total-order rule the keyed dedup sink uses: a run between
+    ``id_a < id_b`` removes ``[start_b, start_b + run_tokens)`` from
+    the LATER doc only, so exactly one copy of every duplicated
+    substring survives corpus-wide (chains W<X<Y remove from X via
+    (W,X) and from Y via both pairs — consistent).
+
+    Overlapping removal intervals are UNION-ed per document before
+    counting (interval-islands on a running max — one window over the
+    per-doc interval list, which is run-scale, not token-scale).
+    Returns one row per document: (id, n_tokens, removed_tokens,
+    kept_tokens, kept_ratio)."""
+    runs = substring_runs(df, id_col, text_col, k, min_len, max_occ)
+    iv = runs.select(
+        F.col("id_b").alias("id"),
+        F.col("start_b").alias("lo"),
+        (F.col("start_b") + F.col("run_tokens")).alias("hi"),
+    ).distinct()
+    w = Window.partitionBy("id").orderBy("lo", "hi")
+    prev_max = F.max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        iv.withColumn(
+            "new_isl",
+            F.when(
+                prev_max.isNull() | (F.col("lo") > prev_max), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "isl",
+            F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "isl")
+        .agg((F.max("hi") - F.min("lo")).alias("covered"))
+        .groupBy("id")
+        .agg(F.sum("covered").alias("removed_tokens"))
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
+    )
+    kept = F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0))
+    out = (
+        toks.join(isl, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("removed_tokens", F.lit(0))
+            .cast("long")
+            .alias("removed_tokens"),
+            kept.cast("long").alias("kept_tokens"),
+            # floor-quantize at 6dp of a bit-identical double (the
+            # repo's cross-engine ratio discipline — ROUND at an exact
+            # decimal boundary diverges between engines ~1-in-30k)
+            (
+                F.floor(kept * F.lit(1000000.0) / F.col("n_tokens"))
+                / 1000000
+            ).alias("kept_ratio"),
+        )
+    )
+    return hold(out, *getattr(runs, "_persisted_inputs", []))
 
 
 def jaccard_verify(

@@ -660,3 +660,110 @@ def u62_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dirty_docs(spark, sf_dir), "doc_id", "text",
         k=5, min_len=20, max_occ=64,
     )
+
+
+def _dedup_cut_oracle(
+    k: int = 5, min_len: int = 20, max_occ: int = 64
+) -> str:
+    return f"""
+        WITH corpus AS ({DIRTY_SQL}),
+        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+        sp AS (
+          SELECT doc_id, u.i AS pos,
+                 array_to_string(toks[u.i + 1:u.i + {k}], ' ') AS s
+          FROM toksed, UNNEST(range(len(toks) - {k} + 1)) AS u(i)
+          WHERE len(toks) >= {k}
+        ),
+        anchors AS (
+          SELECT s FROM sp GROUP BY s
+          HAVING COUNT(*) <= {max_occ} AND MIN(doc_id) <> MAX(doc_id)
+        ),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.pos AS pos_a, b.pos AS pos_b
+          FROM sp a JOIN anchors USING (s) JOIN sp b USING (s)
+          WHERE a.doc_id < b.doc_id
+        ),
+        runs AS (
+          SELECT id_a, id_b, COUNT(*) + {k} - 1 AS run_tokens,
+                 MIN(pos_b) AS start_b
+          FROM (
+            SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                   pos_a - ROW_NUMBER() OVER (
+                     PARTITION BY id_a, id_b, pos_a - pos_b
+                     ORDER BY pos_a
+                   ) AS grp
+            FROM cand
+          )
+          GROUP BY id_a, id_b, diag, grp
+          HAVING COUNT(*) + {k} - 1 >= {min_len}
+        ),
+        iv AS (
+          SELECT DISTINCT id_b AS id, start_b AS lo,
+                 start_b + run_tokens AS hi
+          FROM runs
+        ),
+        marked AS (
+          SELECT id, lo, hi,
+                 CASE WHEN MAX(hi) OVER (
+                        PARTITION BY id ORDER BY lo, hi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) IS NULL
+                      OR lo > MAX(hi) OVER (
+                        PARTITION BY id ORDER BY lo, hi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      )
+                 THEN 1 ELSE 0 END AS new_isl
+          FROM iv
+        ),
+        isl AS (
+          SELECT id, lo, hi,
+                 SUM(new_isl) OVER (
+                   PARTITION BY id ORDER BY lo, hi
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS isl
+          FROM marked
+        ),
+        cov AS (
+          SELECT id, CAST(SUM(covered) AS BIGINT) AS removed_tokens
+          FROM (
+            SELECT id, isl, MAX(hi) - MIN(lo) AS covered
+            FROM isl GROUP BY id, isl
+          ) GROUP BY id
+        )
+        SELECT t.doc_id AS id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.removed_tokens, 0) AS BIGINT)
+                 AS removed_tokens,
+               CAST(len(toks) - COALESCE(c.removed_tokens, 0) AS BIGINT)
+                 AS kept_tokens,
+               FLOOR((len(toks) - COALESCE(c.removed_tokens, 0))
+                     * 1000000.0 / len(toks)) / 1000000 AS kept_ratio
+        FROM toksed t LEFT JOIN cov c ON c.id = t.doc_id
+    """
+
+
+@register(
+    "u63_substring_dedup_cut",
+    oracle=_dedup_cut_oracle(),
+    doc="The dedup CUT of Lee et al. 2022 applied to u62's maximal "
+    "runs: every token span duplicated from an EARLIER document is "
+    "removed from the later copy (keep-earliest total-order rule, the "
+    "same contract as the keyed dedup sink), overlapping removal "
+    "intervals UNION-ed per document by interval-islands before "
+    "counting — one row per document with its n/removed/kept token "
+    "accounting and floor-quantized kept_ratio. The interval-union "
+    "window runs over the per-doc RUN list (run-scale, not "
+    "token-scale); everything upstream rides u62's DF-cut anchor "
+    "index.",
+    tags=("dedup", "substring", "llm-pipeline"),
+)
+def u63_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        substring_dedup_cut,
+    )
+
+    return substring_dedup_cut(
+        _dirty_docs(spark, sf_dir), "doc_id", "text",
+        k=5, min_len=20, max_occ=64,
+    )

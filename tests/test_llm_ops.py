@@ -1801,3 +1801,39 @@ def test_substring_runs_planted_lengths(spark):
         substring_run_pairs(docs2, "doc_id", "text", k=5, min_len=20)
     ) as out2:
         assert out2.count() == 0
+
+
+def test_substring_dedup_cut_keep_earliest_and_union(spark):
+    """u63's cut removes from the LATER doc only, and overlapping
+    removal intervals union before counting. Doc 1 is the earliest
+    copy (keeps everything); doc 2 shares one 30-token block with doc
+    1 at two overlapping alignments (same removal interval, counted
+    once); doc 3 shares the block with BOTH — still one interval."""
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        substring_dedup_cut,
+    )
+
+    blk = " ".join(f"s{i}" for i in range(30))
+    fill = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{blk} {fill('a', 10)}"),
+            (2, f"{fill('b', 5)} {blk} {fill('c', 5)}"),
+            (3, f"{fill('d', 20)} {blk}"),
+        ],
+        "doc_id int, text string",
+    )
+    with released(
+        substring_dedup_cut(docs, "doc_id", "text", k=5, min_len=20)
+    ) as out:
+        rows = {r.id: r for r in out.collect()}
+    assert rows[1].removed_tokens == 0 and rows[1].kept_ratio == 1.0
+    assert rows[2].n_tokens == 40 and rows[2].removed_tokens == 30
+    assert rows[2].kept_tokens == 10
+    assert rows[3].n_tokens == 50 and rows[3].removed_tokens == 30
+    # exactly one corpus-wide copy of the block survives (doc 1's)
+    total_kept_blocks = sum(
+        1 for r in rows.values() if r.removed_tokens == 0
+    )
+    assert total_kept_blocks == 1

@@ -43,6 +43,23 @@ VOCAB = (
 ).split()
 
 
+def _hot_mix(rng, n_keys: int, n: int, hot_frac: float = 0.30):
+    """Hot-entity key skew: ``hot_frac`` of all draws hit key 0, the
+    rest stay uniform — the 30%-hot-key shape that breaks naive
+    hash-partitioned joins/aggregations at scale (one reducer gets
+    hot_frac of the table). Used by ``--skew`` to give the salting /
+    AQE-skew-join machinery a data-level proof, not just a plan test."""
+    u = rng.integers(0, max(n_keys, 1), n)
+    return np.where(rng.random(n) < hot_frac, 0, u)
+
+
+def _zipf_p(k: int, alpha: float = 1.2):
+    """Truncated zipf(alpha) pmf over ranks 1..k (top rank ~28% mass at
+    k=31, alpha=1.2)."""
+    p = 1.0 / np.arange(1, k + 1) ** alpha
+    return p / p.sum()
+
+
 def _ts_us(days_from: str, span_days: float, rng, n, midnight=False):
     base = np.datetime64(days_from, "us")
     if midnight:
@@ -57,7 +74,11 @@ def _write(outdir: str, name: str, table: pa.Table) -> None:
     print(f"{name}: {table.num_rows} rows")
 
 
-def generate(sf: float, outdir: str) -> None:
+def generate(sf: float, outdir: str, skew: bool = False) -> None:
+    """``skew=True`` switches the foreign keys and the document token
+    distribution from uniform to skewed (30%-hot key via ``_hot_mix``,
+    zipf(1.2) vocabulary) while keeping schema, domains, and row counts
+    identical — the adversarial layout for shuffle-heavy plans."""
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     n_cust = int(150_000 * sf)
@@ -106,7 +127,9 @@ def generate(sf: float, outdir: str) -> None:
     }))
     _write(outdir, "orders", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, max(n_cust, 1), n_ord), pa.int64()),
+        "o_custkey": pa.array(
+            _hot_mix(rng, n_cust, n_ord) if skew
+            else rng.integers(0, max(n_cust, 1), n_ord), pa.int64()),
         "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, n_ord)],
         "o_totalprice": np.round(rng.uniform(1_000, 500_000, n_ord), 2),
         "o_orderdate": pa.array(
@@ -116,9 +139,15 @@ def generate(sf: float, outdir: str) -> None:
         "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
     }))
     _write(outdir, "lineitem", pa.table({
-        "l_orderkey": pa.array(rng.integers(0, max(n_ord, 1), n_li), pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, max(n_part, 1), n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, max(n_supp, 1), n_li), pa.int64()),
+        "l_orderkey": pa.array(
+            _hot_mix(rng, n_ord, n_li, hot_frac=0.10) if skew
+            else rng.integers(0, max(n_ord, 1), n_li), pa.int64()),
+        "l_partkey": pa.array(
+            _hot_mix(rng, n_part, n_li) if skew
+            else rng.integers(0, max(n_part, 1), n_li), pa.int64()),
+        "l_suppkey": pa.array(
+            _hot_mix(rng, n_supp, n_li) if skew
+            else rng.integers(0, max(n_supp, 1), n_li), pa.int64()),
         "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
         "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
         "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
@@ -134,14 +163,20 @@ def generate(sf: float, outdir: str) -> None:
     _write(outdir, "events", pa.table({
         "event_id": pa.array(np.arange(n_ev), pa.int64()),
         "ts": pa.array(_ts_us("2024-01-01", 30, rng, n_ev), pa.timestamp("us")),
-        "user_id": pa.array(rng.integers(0, max(n_users, 1), n_ev), pa.int64()),
+        "user_id": pa.array(
+            _hot_mix(rng, n_users, n_ev) if skew
+            else rng.integers(0, max(n_users, 1), n_ev), pa.int64()),
         "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
         "value": np.round(rng.uniform(0.01, 490.02, n_ev), 2),
         "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)],
     }))
     # documents: 10-110 words over the 31-word vocab (unique w.h.p.)
     lens = rng.integers(10, 111, n_doc)
-    flat = rng.integers(0, len(VOCAB), int(lens.sum()))
+    flat = (
+        rng.choice(len(VOCAB), int(lens.sum()), p=_zipf_p(len(VOCAB)))
+        if skew
+        else rng.integers(0, len(VOCAB), int(lens.sum()))
+    )
     texts, pos = [], 0
     varr = np.array(VOCAB)
     for ln in lens:
@@ -151,7 +186,8 @@ def generate(sf: float, outdir: str) -> None:
         "doc_id": pa.array(np.arange(n_doc), pa.int64()),
         "text": texts,
         "lang": np.where(rng.random(n_doc) < 0.9, "en", "es"),
-        "source": [f"src{i}" for i in rng.integers(0, 20, n_doc)],
+        "source": [f"src{i}" for i in (
+            _hot_mix(rng, 20, n_doc) if skew else rng.integers(0, 20, n_doc))],
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
     # embeddings: unit-norm 64-dim, weak label clusters (centroid pull
@@ -171,6 +207,5 @@ def generate(sf: float, outdir: str) -> None:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1])
-    outdir = sys.argv[2]
-    generate(sf, outdir)
+    argv = [a for a in sys.argv[1:] if a != "--skew"]
+    generate(float(argv[0]), argv[1], skew="--skew" in sys.argv[1:])

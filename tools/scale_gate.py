@@ -53,19 +53,24 @@ SCALE_SKIPS = {
 _LINE = re.compile(r"^(\w+): (OK|MISMATCH|ERROR|rows-only)\b(.*?) \[([0-9.]+)s\]$")
 
 
-def _gen(sf: float, outdir: str) -> dict[str, int]:
+def _gen(sf: float, outdir: str, skew: bool = False) -> dict[str, int]:
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import gen_testdata
 
     t0 = time.time()
-    gen_testdata.generate(sf, outdir)
+    gen_testdata.generate(sf, outdir, skew=skew)
     rows = {}
     import pyarrow.parquet as pq
 
     for fn in sorted(os.listdir(outdir)):
         if fn.endswith(".parquet"):
             rows[fn[:-8]] = pq.ParquetFile(os.path.join(outdir, fn)).metadata.num_rows
-    return {"seed": gen_testdata.SEED, "rows": rows, "wall_sec": round(time.time() - t0, 1)}
+    return {
+        "seed": gen_testdata.SEED,
+        "skew": skew,
+        "rows": rows,
+        "wall_sec": round(time.time() - t0, 1),
+    }
 
 
 def _gate(sf_dir: str, skips: dict[str, str]) -> dict:
@@ -146,9 +151,15 @@ def main() -> int:
         "--rows-only-skips", action="store_true",
         help="run the skipped queries' engine side and record row counts",
     )
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="generate the zipf/hot-key skewed variant (30%%-hot foreign "
+        "keys, zipf(1.2) document vocabulary) — the data-level proof for "
+        "the salting / AQE skew-join machinery",
+    )
     args = ap.parse_args()
 
-    sf_tag = f"{args.sf:g}"
+    sf_tag = f"{args.sf:g}" + ("_skew" if args.skew else "")
     data_dir = args.data_dir or os.path.join(REPO, ".localdata", f"sf{sf_tag}")
     out_path = args.out or os.path.join(REPO, f"SCALE_sf{sf_tag}.json")
     try:
@@ -159,11 +170,12 @@ def main() -> int:
     except OSError:
         commit = None
     summary: dict = {
-        "sf": args.sf, "data_dir": data_dir, "commit": commit, "generator": None,
+        "sf": args.sf, "skew": args.skew, "data_dir": data_dir,
+        "commit": commit, "generator": None,
     }
 
     print(f"[scale_gate] generating sf={sf_tag} at {data_dir}", flush=True)
-    summary["generator"] = _gen(args.sf, data_dir)
+    summary["generator"] = _gen(args.sf, data_dir, skew=args.skew)
 
     skips = SCALE_SKIPS if args.sf >= 0.5 else {}
     try:
