@@ -386,6 +386,28 @@ def main(argv: list[str] | None = None) -> int:
     psb.add_argument("--id-col", default="doc_id")
     psb.add_argument("--text-col", default="text")
 
+    pdd = sub.add_parser(
+        "dedup",
+        help="exact substring dedup (suffix-array family): 'runs' "
+        "writes maximal cross-document duplicated runs >= --min-len "
+        "tokens; 'cut' writes the keep-earliest per-document removal "
+        "accounting",
+    )
+    pdd.add_argument("action", choices=["runs", "cut"])
+    pdd.add_argument("docs", help="input parquet with id + text columns")
+    pdd.add_argument("out", help="output parquet path")
+    pdd.add_argument("--id-col", default="doc_id")
+    pdd.add_argument("--text-col", default="text")
+    pdd.add_argument("--k", type=int, default=5, help="anchor length (tokens)")
+    pdd.add_argument(
+        "--min-len", type=int, default=20,
+        help="minimum duplicated-run length in tokens",
+    )
+    pdd.add_argument(
+        "--max-occ", type=int, default=64,
+        help="anchor occurrence cap (bounds join fan-out by max_occ^2)",
+    )
+
     pt = sub.add_parser(
         "table",
         help="merged-table snapshot operations: history (on-disk "
@@ -540,6 +562,43 @@ def main(argv: list[str] | None = None) -> int:
             .collect()[0]
         )
         print(json.dumps({"out": args.out, **row.asDict()}, sort_keys=True))
+        return 0
+
+    if args.cmd == "dedup":
+        import pyspark.sql.functions as F
+
+        from gov_ec_pipeline_etl_spark.caching import unpersist_inputs
+        from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+            substring_dedup_cut,
+            substring_runs,
+        )
+        from gov_ec_pipeline_etl_spark.session import get_spark
+
+        spark = get_spark("gov-ec-pipeline-etl-dedup")
+        df = spark.read.parquet(args.docs)
+        op = substring_runs if args.action == "runs" else substring_dedup_cut
+        out_df = op(
+            df, args.id_col, args.text_col,
+            k=args.k, min_len=args.min_len, max_occ=args.max_occ,
+        )
+        out_df.write.mode("overwrite").parquet(args.out)
+        unpersist_inputs(out_df)
+        written = spark.read.parquet(args.out)
+        if args.action == "runs":
+            row = written.agg(
+                F.count(F.lit(1)).alias("n_runs"),
+                F.max("run_tokens").alias("max_run_tokens"),
+                F.sum("run_tokens").alias("dup_tokens"),
+            ).collect()[0]
+        else:
+            row = written.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("corpus_tokens"),
+                F.sum("removed_tokens").alias("removed_tokens"),
+                F.sum("kept_tokens").alias("kept_tokens"),
+            ).collect()[0]
+        summary = {k: (0 if v is None else v) for k, v in row.asDict().items()}
+        print(json.dumps({"out": args.out, **summary}, sort_keys=True))
         return 0
 
     if args.cmd == "curate":

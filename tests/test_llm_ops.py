@@ -1837,3 +1837,88 @@ def test_substring_dedup_cut_keep_earliest_and_union(spark):
         1 for r in rows.values() if r.removed_tokens == 0
     )
     assert total_kept_blocks == 1
+
+
+def test_dedup_cli_runs_and_cut(spark, tmp_path, capsys):
+    """The dedup CLI drives both substring-dedup forms end-to-end."""
+    import json as _json
+
+    from gov_ec_pipeline_etl_spark.cli import main as cli_main
+
+    blk = " ".join(f"s{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, f"{blk} aa bb"), (2, f"xx yy {blk}"), (3, "zz " * 40)],
+        "doc_id int, text string",
+    )
+    dp = str(tmp_path / "docs")
+    docs.write.parquet(dp)
+    ro, co = str(tmp_path / "runs"), str(tmp_path / "cut")
+    assert cli_main(["dedup", "runs", dp, ro]) == 0
+    runs = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert runs["n_runs"] >= 1 and runs["max_run_tokens"] == 30
+    assert cli_main(["dedup", "cut", dp, co]) == 0
+    cut = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cut["n_docs"] == 3 and cut["removed_tokens"] == 30
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_substring_runs_match_bruteforce(spark, seed):
+    """Randomized adversarial check of u62's diagonal-island algebra:
+    tiny vocab forces dense anchor collisions, and every maximal run
+    (start_a, start_b, length) must equal a brute-force O(n^2)
+    per-pair reference computed in plain Python."""
+    import random
+
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        substring_runs,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    k, min_len = 2, 3
+    toks = {
+        did: [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+        for did in range(1, 7)
+    }
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in toks.items()], "doc_id int, text string"
+    )
+
+    expect = set()
+    for da in toks:
+        for db in toks:
+            if da >= db:
+                continue
+            a, b = toks[da], toks[db]
+            matches = {
+                (i, j)
+                for i in range(len(a) - k + 1)
+                for j in range(len(b) - k + 1)
+                if a[i : i + k] == b[j : j + k]
+            }
+            by_diag = {}
+            for i, j in matches:
+                by_diag.setdefault(i - j, []).append(i)
+            for d, pos in by_diag.items():
+                pos.sort()
+                run = [pos[0]]
+                for i in pos[1:] + [None]:
+                    if i is not None and i == run[-1] + 1:
+                        run.append(i)
+                        continue
+                    ln = len(run) + k - 1
+                    if ln >= min_len:
+                        expect.add((da, db, run[0], run[0] - d, ln))
+                    if i is not None:
+                        run = [i]
+    with released(
+        substring_runs(
+            docs, "doc_id", "text", k=k, min_len=min_len, max_occ=10_000
+        )
+    ) as out:
+        got = {
+            (r.id_a, r.id_b, r.start_a, r.start_b, r.run_tokens)
+            for r in out.collect()
+        }
+    assert got == expect
