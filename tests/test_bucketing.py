@@ -53,3 +53,37 @@ def test_bucketed_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_gen_testdata_skew_mode(tmp_path):
+    """--skew produces the adversarial layout the scale gate relies on:
+    ~30% of orders hit one customer, the zipf vocabulary concentrates
+    the top token, and schema/row counts stay identical to uniform —
+    same gate, same oracles, different physics."""
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_testdata as g
+
+    u, s = str(tmp_path / "u"), str(tmp_path / "s")
+    g.generate(0.001, u)
+    g.generate(0.001, s, skew=True)
+    for name in ("orders", "lineitem", "documents"):
+        tu = pq.read_table(f"{u}/{name}.parquet")
+        ts = pq.read_table(f"{s}/{name}.parquet")
+        assert tu.schema.equals(ts.schema)
+        assert tu.num_rows == ts.num_rows
+    ords = pq.read_table(f"{s}/orders.parquet").to_pydict()
+    hot = sum(1 for c in ords["o_custkey"] if c == 0) / len(ords["o_custkey"])
+    assert 0.25 < hot < 0.35
+    uords = pq.read_table(f"{u}/orders.parquet").to_pydict()
+    uhot = sum(1 for c in uords["o_custkey"] if c == 0) / len(uords["o_custkey"])
+    assert uhot < 0.05
+    # zipf vocabulary: the hottest token carries >25% of document mass
+    docs = pq.read_table(f"{s}/documents.parquet").to_pydict()["text"]
+    from collections import Counter
+
+    c = Counter(t for d in docs for t in d.split())
+    assert c.most_common(1)[0][1] / sum(c.values()) > 0.25
