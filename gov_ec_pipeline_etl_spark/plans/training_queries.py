@@ -2363,3 +2363,43 @@ def u51_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hold(out, seeded)
+
+
+@register(
+    "u64_sequence_packing",
+    oracle=f"""
+        WITH toksed AS (
+          SELECT doc_id, len({TOKS_SQL}) AS n FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n,
+                 SUM(n) OVER (
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                 ) AS cum
+          FROM toksed
+        )
+        SELECT doc_id AS id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST((cum - n) // 512 AS BIGINT) AS first_bin,
+               CAST((cum - 1) // 512 AS BIGINT) AS last_bin,
+               CAST((cum - 1) // 512 - (cum - n) // 512 + 1 AS BIGINT)
+                 AS bins_spanned
+        FROM c
+    """,
+    doc="Training-sequence packing (concat-and-chop at 512 tokens, "
+    "GPT-style zero-waste packing): each document's first/last bin and "
+    "boundary-crossing count in doc_id concatenation order — the "
+    "inputs to boundary-aware attention masks and shard manifests. "
+    "The global token cumsum is HIERARCHICAL (range partitions → "
+    "local running sums → broadcast prefix offsets, the u28 "
+    "decomposition), invariant to range boundaries and bit-equal to "
+    "the oracle's single global window; all-integer div arithmetic, "
+    "exact at any corpus size.",
+    tags=("llm-pipeline", "packing", "training"),
+)
+def u64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        T(spark, sf_dir, "documents"), "doc_id", "text", capacity=512
+    )

@@ -1922,3 +1922,46 @@ def test_substring_runs_match_bruteforce(spark, seed):
             for r in out.collect()
         }
     assert got == expect
+
+
+def test_sequence_packing_matches_global_window(spark):
+    """The hierarchical cumsum behind u64 is bit-equal to the naive
+    single-window definition regardless of bucket count, and the bin
+    algebra handles documents that span multiple bins."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.operators.packing import pack_sequences
+
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 120))))
+        for i in range(1, 301)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    for nb in (1, 3, 32):
+        got = {
+            (r.id, r.n_tokens, r.first_bin, r.last_bin, r.bins_spanned)
+            for r in pack_sequences(
+                docs, "doc_id", "text", capacity=50, n_buckets=nb
+            ).collect()
+        }
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        naive = (
+            docs.select(
+                F.col("doc_id").alias("id"),
+                F.size(F.split("text", " ")).cast("long").alias("n"),
+            )
+            .withColumn("cum", F.sum("n").over(w))
+            .selectExpr(
+                "id", "n", "(cum - n) div 50 fb", "(cum - 1) div 50 lb"
+            )
+        )
+        expect = {
+            (r.id, r.n, r.fb, r.lb, r.lb - r.fb + 1) for r in naive.collect()
+        }
+        assert got == expect, f"n_buckets={nb}"
+    # a 120-token doc at capacity 50 must span 3+ bins somewhere
+    assert any(t[4] >= 3 for t in expect)
