@@ -449,6 +449,12 @@ def _compact_partitions(
         return {"files_before": 0, "files_after": 0}
     current = spark.read.parquet(snap)
     files_before = len(current.inputFiles())
+    if current.isEmpty():
+        # an emptied table (delete-all / full retention) has nothing to
+        # compact — and rewriting 0 rows would emit ZERO part files
+        # (coalesce/repartition of an empty scan schedules no write
+        # tasks), publishing an unreadable snapshot
+        return {"files_before": files_before, "files_after": files_before}
     max_records = None
     if partition_by:
         compacted = current.repartition(*partition_by)

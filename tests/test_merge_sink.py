@@ -641,3 +641,41 @@ def test_drop_partitions_null_verdict_and_total_drop(spark, tmp_path):
     out = read_table(spark, target)
     assert out.count() == 0
     assert set(out.columns) == {"surrogate_id", "ano", "v"}
+
+
+def test_compact_on_emptied_table_is_noop(spark, tmp_path):
+    """A maintenance compaction scheduled after a delete-all must not
+    publish a zero-file snapshot (rewriting 0 rows schedules no write
+    tasks): it no-ops and the table stays readable, then revives."""
+    from gov_ec_pipeline_etl_spark.sinks.upsert import (
+        compact_partitions,
+        delete_keys,
+        read_table,
+        upsert_parquet,
+    )
+
+    for part in (None, ["ano"]):
+        target = str(tmp_path / f"tbl_{bool(part)}")
+        df = spark.createDataFrame(
+            [(1, 2023, "a"), (2, 2024, "b")],
+            "surrogate_id int, ano int, v string",
+        )
+        upsert_parquet(spark, df, target, partition_by=part)
+        keys = spark.createDataFrame([(1,), (2,)], "surrogate_id int")
+        assert delete_keys(spark, keys, target, partition_by=part)[
+            "rows_deleted"
+        ] == 2
+        m = compact_partitions(spark, target, partition_by=part)
+        assert m["files_before"] == m["files_after"]
+        out = read_table(spark, target)
+        assert out.count() == 0
+        assert set(out.columns) == {"surrogate_id", "ano", "v"}
+        upsert_parquet(
+            spark,
+            spark.createDataFrame(
+                [(9, 2025, "z")], "surrogate_id int, ano int, v string"
+            ),
+            target,
+            partition_by=part,
+        )
+        assert read_table(spark, target).count() == 1
