@@ -751,7 +751,18 @@ def delete_keys(
                             snap_path,
                             *[_partition_dirname(c, v) for c, v in zip(partition_by, t)],
                         )
-                        shutil.rmtree(d, ignore_errors=True)
+                        # touched tuples come FROM the table: a missing
+                        # dir means the rendered name doesn't match the
+                        # on-disk layout, and silently skipping it would
+                        # RETAIN rows reported deleted (the ADVICE r5
+                        # null/boolean class) — fail loudly instead
+                        if not os.path.isdir(d):
+                            raise RuntimeError(
+                                f"partition dir {d!r} not found in the "
+                                "snapshot: value rendering mismatch — "
+                                "use the unpartitioned delete path"
+                            )
+                        shutil.rmtree(d)
                     remaining.write.mode("append").partitionBy(
                         *partition_by
                     ).parquet(snap_path)
@@ -862,7 +873,14 @@ def drop_partitions(
                     snap_path,
                     *[_partition_dirname(c, t[c]) for c in partition_by],
                 )
-                shutil.rmtree(d, ignore_errors=True)
+                # same loud-mismatch contract as delete_keys: the tuple
+                # came from the table, so its directory must exist
+                if not os.path.isdir(d):
+                    raise RuntimeError(
+                        f"partition dir {d!r} not found in the snapshot: "
+                        "value rendering mismatch — retention not applied"
+                    )
+                shutil.rmtree(d)
             if not _has_data_files(snap_path):
                 # every partition failed retention: keep the snapshot
                 # readable (schema-bearing empty file, not zero files)

@@ -679,3 +679,33 @@ def test_compact_on_emptied_table_is_noop(spark, tmp_path):
             partition_by=part,
         )
         assert read_table(spark, target).count() == 1
+
+
+def test_partition_dir_mismatch_fails_loudly(spark, tmp_path, monkeypatch):
+    """If a rendered partition dirname ever diverges from the on-disk
+    layout again (the ADVICE r5 null/boolean class), the surgery must
+    raise — not silently retain rows it reports deleted — and the
+    failed attempt must leave the table untouched."""
+    import gov_ec_pipeline_etl_spark.sinks.upsert as up
+
+    target = str(tmp_path / "tbl")
+    up.upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [(1, 2023, "a"), (2, 2024, "b")],
+            "surrogate_id int, ano int, v string",
+        ),
+        target,
+        partition_by=["ano"],
+    )
+    monkeypatch.setattr(
+        up, "_partition_dirname", lambda c, v: f"{c}={v}__WRONG"
+    )
+    keys = spark.createDataFrame([(1,)], "surrogate_id int")
+    with pytest.raises(RuntimeError, match="rendering mismatch"):
+        up.delete_keys(spark, keys, target, partition_by=["ano"])
+    with pytest.raises(RuntimeError, match="rendering mismatch"):
+        import pyspark.sql.functions as F
+
+        up.drop_partitions(spark, target, ["ano"], F.col("ano") >= 2024)
+    assert up.read_table(spark, target).count() == 2
