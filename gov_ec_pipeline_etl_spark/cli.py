@@ -565,6 +565,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "dedup":
+        if args.k < 1 or args.min_len < 1 or args.max_occ < 2:
+            print(
+                "dedup: --k and --min-len must be >= 1, --max-occ >= 2",
+                file=sys.stderr,
+            )
+            return 2
         import pyspark.sql.functions as F
 
         from gov_ec_pipeline_etl_spark.caching import unpersist_inputs

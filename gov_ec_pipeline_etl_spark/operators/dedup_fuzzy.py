@@ -21,17 +21,26 @@ from gov_ec_pipeline_etl_spark.caching import hold
 from gov_ec_pipeline_etl_spark.functions.hashing import hash64
 
 
-def positional_shingle_rows(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+def _anchor_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    short_fallback: bool,
 ) -> DataFrame:
-    """(id, s) rows: ALL positional k-word spans of each document, WITH
-    multiplicity — one row per span occurrence (documents shorter than
-    k words contribute their whole normalized text as one span).
+    """Shared positional k-gram assembly kernel: (id, pos, s) rows.
 
     Tokens explode to rows, spans assemble via window ``lead`` —
     everything stays in whole-stage codegen, unlike array higher-order
     lambdas which Catalyst interprets per element (~15× slower at
-    sf0.1). One exchange (the id-partitioned explode)."""
+    sf0.1). One exchange (the id-partitioned explode).
+
+    ``short_fallback=True`` emits a document shorter than ``k`` words
+    as one whole-text span (the shingle/minhash contract);
+    ``short_fallback=False`` drops such documents (the substring-run
+    contract — no anchor, no run)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     base = df.select(
         F.col(id_col).alias("id"),
@@ -49,13 +58,30 @@ def positional_shingle_rows(
     )
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("t", j).over(w) for j in range(1, k)]
-    return toks.select(
-        "id",
-        F.when(F.col("n") >= k, F.concat_ws(" ", F.col("t"), *leads))
-        .otherwise(F.col("t"))
-        .alias("s"),
-        ((F.col("n") < k) | leads[-1].isNotNull()).alias("keep"),
-    ).where("keep")
+    full = F.concat_ws(" ", F.col("t"), *leads) if leads else F.col("t")
+    complete = leads[-1].isNotNull() if leads else F.lit(True)
+    if short_fallback:
+        s = F.when(F.col("n") >= k, full).otherwise(F.col("t"))
+        keep = (F.col("n") < k) | complete
+    else:
+        s = full
+        keep = (F.col("n") >= k) & complete
+    return (
+        toks.select("id", "pos", s.alias("s"), keep.alias("keep"))
+        .where("keep")
+        .drop("keep")
+    )
+
+
+def positional_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, s) rows: ALL positional k-word spans of each document, WITH
+    multiplicity — one row per span occurrence (documents shorter than
+    k words contribute their whole normalized text as one span)."""
+    return _anchor_rows(df, id_col, text_col, k, short_fallback=True).select(
+        "id", "s"
+    )
 
 
 def shingle_rows(
@@ -177,22 +203,7 @@ def substring_runs(
     :func:`substring_run_pairs` summarizes per pair;
     :func:`substring_dedup_cut` turns the runs into the keep-earliest
     corpus cut."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    toks = df.select(
-        F.col(id_col).alias("id"), norm.alias("norm")
-    ).select("id", F.posexplode(F.split("norm", " ")).alias("pos", "t"))
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("t", j).over(w) for j in range(1, k)]
-    sp = (
-        toks.select(
-            "id",
-            "pos",
-            F.concat_ws(" ", F.col("t"), *leads).alias("s"),
-            leads[-1].isNotNull().alias("keep"),
-        )
-        .where("keep")
-        .drop("keep")
-    )
+    sp = _anchor_rows(df, id_col, text_col, k, short_fallback=False)
     # anchor-keyed cut in ONE aggregate: cross-document (min!=max id)
     # and occurrence-bounded. Persisted — it feeds both sides of the
     # candidate self-join.

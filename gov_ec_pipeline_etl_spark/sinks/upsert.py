@@ -624,6 +624,11 @@ def _partition_dirname(col: str, value) -> str:
     if value is None:
         return f"{col}={_HIVE_DEFAULT_PARTITION}"
     if isinstance(value, bool):
+        # defensive only: partition-type INFERENCE never yields
+        # booleans (read-back gives the string 'true'/'false', which
+        # the str() path below renders correctly) — this branch covers
+        # values collected from a schema-pinned read, where Python
+        # bools would otherwise render 'True' and miss the directory
         return f"{col}={'true' if value else 'false'}"
     s = str(value)
     if s == "" or any(
@@ -863,7 +868,6 @@ def drop_partitions(
         drop_t = [t for t in tuples if not t["__keep"]]
         if not drop_t:
             return {"partitions_dropped": 0, "partitions_kept": len(keep_t)}
-        schema = spark.read.parquet(snap0).schema
         snap_name = f"snapshot_{uuid.uuid4().hex[:12]}"
         snap_path = os.path.join(target_dir, snap_name)
         try:
@@ -883,8 +887,11 @@ def drop_partitions(
                 shutil.rmtree(d)
             if not _has_data_files(snap_path):
                 # every partition failed retention: keep the snapshot
-                # readable (schema-bearing empty file, not zero files)
-                _write_empty_snapshot(spark, schema, snap_path)
+                # readable (schema-bearing empty file, not zero files);
+                # snap0 is untouched here, so its schema is available
+                _write_empty_snapshot(
+                    spark, spark.read.parquet(snap0).schema, snap_path
+                )
         except BaseException:
             shutil.rmtree(snap_path, ignore_errors=True)
             raise

@@ -1965,3 +1965,27 @@ def test_sequence_packing_matches_global_window(spark):
         assert got == expect, f"n_buckets={nb}"
     # a 120-token doc at capacity 50 must span 3+ bins somewhere
     assert any(t[4] >= 3 for t in expect)
+
+
+def test_substring_runs_k1_and_cli_validation(spark, tmp_path, capsys):
+    """k=1 (single-token anchors) is a legal degenerate configuration
+    (found crashing in review: empty lead list), and the CLI rejects
+    k/min_len/max_occ values the operator can't honor."""
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.cli import main as cli_main
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        substring_runs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y a b c")], "doc_id int, text string"
+    )
+    with released(
+        substring_runs(docs, "doc_id", "text", k=1, min_len=3, max_occ=100)
+    ) as out:
+        rows = out.collect()
+    assert [(r.start_a, r.start_b, r.run_tokens) for r in rows] == [(0, 2, 3)]
+    dp = str(tmp_path / "docs")
+    docs.write.parquet(dp)
+    assert cli_main(["dedup", "runs", dp, str(tmp_path / "o"), "--k", "0"]) == 2
+    assert "must be >= 1" in capsys.readouterr().err
