@@ -591,3 +591,78 @@ def u43_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_ec_pipeline_etl_spark.caching import hold
 
     return hold(out, *held)
+
+
+from gov_ec_pipeline_etl_spark.plans.text_queries import QUALITY_SQL as _Q_SQL
+
+# RefinedWeb-style per-source quota: a source (domain) may contribute at
+# most K documents, chosen by quality. K is fixed across scales so the
+# oracle replays it verbatim.
+_U65_K = 200
+
+_U65_ORACLE = f"""
+    WITH q AS ({_Q_SQL}),
+    scored AS (
+      SELECT d.source, d.doc_id, d.n_chars, q.quality
+      FROM documents d JOIN q USING (doc_id)
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars, quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {_U65_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           MIN(CASE WHEN rn <= {_U65_K} THEN quality END) AS cutoff_quality,
+           CAST(SUM(CASE WHEN rn <= {_U65_K} THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked GROUP BY source
+"""
+
+
+@register(
+    "u65_source_quota_cap",
+    oracle=_U65_ORACLE,
+    doc="Per-source document quota (RefinedWeb-style domain cap): each "
+    "source keeps at most K=200 documents ranked by t02's quality score "
+    "(total order: quality DESC, doc_id — the repo tie rule), reported "
+    "as per-source kept/total counts, the quality cutoff, and kept "
+    "chars. The rank<=K filter compiles to WindowGroupLimit, so every "
+    "map task pre-truncates its partition to K rows per source before "
+    "the exchange — the shuffle carries O(K * sources * tasks), not the "
+    "corpus, which is what makes a per-domain cap viable at 100 TB. "
+    "Totals come from a separate one-shuffle aggregate joined broadcast "
+    "(source-cardinality rows).",
+    tags=("llm-pipeline", "curation", "quota", "scale-guard"),
+)
+def u65_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gov_ec_pipeline_etl_spark.operators.textstats import quality_score
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _U65_K)
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("quality").alias("cutoff_quality"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return totals.join(F.broadcast(kept_agg), "source").select(
+        "source", "n_docs", "n_kept", "cutoff_quality", "kept_chars"
+    )

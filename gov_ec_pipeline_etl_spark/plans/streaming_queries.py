@@ -430,3 +430,59 @@ def v08_streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = T(spark, sf_dir, "events").select("event_type", "user_id")
     return run_streaming_hll_ingest(spark, ev, n_batches=3)
+
+
+_V09_K = 8
+
+_V09_ORACLE = f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) AS purchase_ts_us,
+           ROUND(p.value, 2) AS purchase_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 24 HOUR
+    WHERE c.rn <= {_V09_K} AND p.rn <= {_V09_K}
+"""
+
+
+@register(
+    "v09_capped_attribution",
+    oracle=_V09_ORACLE,
+    doc="Skew-guarded stream-stream attribution: v01's interval join is "
+    "OUTPUT-quadratic per key (the round-6 skew-gate finding — a "
+    "30%-hot user emits ~3.6e9 rows at sf1, in any engine, because "
+    "that IS the answer), so the guarded deployment caps each side to "
+    "its first k=8 events per user (total order (ts, event_id)) "
+    "upstream of the join, bounding state and output to k*k per key. "
+    "The join itself is the same real watermarked append-mode "
+    "AvailableNow stream-stream interval join as v01; the cap is the "
+    "upstream stage PERF.md's v01 root-cause prescribes, and its "
+    "rank<=k window compiles to WindowGroupLimit (map-side partial "
+    "top-k), so even the hot key's history never crosses an exchange "
+    "whole. Runs green where v01 is a named skew skip.",
+    tags=("streaming", "join", "interval", "scale-guard"),
+)
+def v09_capped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.streaming.events import (
+        run_capped_attribution_stream,
+    )
+
+    return run_capped_attribution_stream(spark, sf_dir, k=_V09_K)

@@ -57,9 +57,11 @@ def t01_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t02_quality_score",
-    oracle=f"""
+# t02's full oracle, exported so downstream curation queries (u65's
+# per-source quota cap) can rank by the IDENTICAL scored value without
+# restating the formula — any drift between the two sides would break
+# both hash gates at once instead of silently diverging.
+QUALITY_SQL = f"""
         WITH toksed AS (
           SELECT doc_id, text, {_TOKS} AS toks FROM documents
         ), feats AS (
@@ -84,7 +86,12 @@ def t01_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           + 0.25 * (1.0 - least(punct, 1.0))
           + 0.25 * least(1.0, stop_ratio * 5.0), 6) AS quality
         FROM feats
-    """,
+"""
+
+
+@register(
+    "t02_quality_score",
+    oracle=QUALITY_SQL,
     doc="Documented heuristic quality score (length band, word-length "
     "band, punctuation ratio, stopword presence) — formula mirrored "
     "term-for-term in the oracle.",

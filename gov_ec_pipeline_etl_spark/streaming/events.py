@@ -300,3 +300,58 @@ def run_attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_capped_attribution_stream(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """Skew-guarded deployment of the attribution join: each side is
+    capped to its first ``k`` rows per user (total order (ts, event_id))
+    by an upstream pass BEFORE the streams join, bounding stream-stream
+    state and output to k*k rows per key.
+
+    This is the engineered mitigation for the v01 skew-gate finding
+    (PERF.md round 6): click->purchase attribution is OUTPUT-quadratic
+    per key, so a 30%-hot user emits ~3.6e9 rows at sf1 — no join
+    strategy shrinks a quadratic answer; the guard must cut key mass
+    upstream. In production the cap runs as its own streaming stage (a
+    per-key counter with state eviction at the watermark, or at the
+    producer); here it runs as the batch pre-pass that stages the replay
+    files, which is equivalent on a finite replay — the join itself is
+    the same real watermarked interval join v01 runs. The cap window is
+    rank<=k, so it compiles to WindowGroupLimit (map-side partial
+    top-k): the pre-pass shuffle carries at most k rows per user per
+    task, never the hot key's full history.
+    """
+    from pyspark.sql import Window
+
+    events = T(spark, sf_dir, "events")
+
+    def _cap(side: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            events.where(F.col("event_type") == side)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    staging = os.path.join(
+        tempfile.gettempdir(), f"events_capped_{uuid.uuid4().hex[:8]}"
+    )
+    _cap("click").write.mode("overwrite").parquet(staging + "_c")
+    _cap("purchase").write.mode("overwrite").parquet(staging + "_p")
+
+    clicks = spark.readStream.schema(events.schema).parquet(staging + "_c")
+    purchases = spark.readStream.schema(events.schema).parquet(staging + "_p")
+    name = f"cattr_{uuid.uuid4().hex[:8]}"
+    q = (
+        attribution_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -419,3 +419,34 @@ def test_k_anonymity_two_aggregations_one_scan(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan[:800]
     assert plan.count("FileScan") == 1
     assert "pythonUDF" not in plan
+
+
+def test_u65_quota_cap_uses_window_group_limit(spark):
+    """The per-source quota must compile to WindowGroupLimit (map-side
+    partial top-k) — a plain Window + Filter would ship every hot
+    source's full history through the exchange, which is exactly what
+    the cap exists to prevent at 100 TB."""
+    plan = _plan(spark, "u65_source_quota_cap")
+    assert "WindowGroupLimit" in plan, plan[:800]
+    # the kept side joins broadcast (source-cardinality rows)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_v09_cap_prepass_uses_window_group_limit(spark):
+    """The v09 per-user cap pre-pass is rank<=k: it must compile to
+    WindowGroupLimit so the hot key's history never crosses an
+    exchange whole (the skew-gate mitigation contract)."""
+    from gov_ec_pipeline_etl_spark.plans.util import T
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    events = T(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        events.where(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 8)
+        .drop("__rn")
+    )
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:800]

@@ -167,3 +167,50 @@ def test_stateful_sessionize_batch_order_robust():
     assert in_order == expect
     assert reversed_order == expect
     assert interleaved == expect
+
+
+def test_capped_attribution_bounds_per_key_output(spark):
+    """v09's guard contract: output is a subset of the uncapped
+    attribution result and no user contributes more than k distinct
+    clicks or purchases — the k*k per-key output bound that makes the
+    stream-stream join safe under hot-key mass concentration."""
+    import pyspark.sql.functions as F
+
+    from gov_ec_pipeline_etl_spark.streaming.events import (
+        run_capped_attribution_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    k = 2
+    out = run_capped_attribution_stream(spark, SF_SMOKE, k=k)
+    per_user = out.groupBy("user_id").agg(
+        F.countDistinct("click_id").alias("nc"),
+        F.countDistinct("purchase_id").alias("np"),
+    )
+    viol = per_user.where(
+        (F.col("nc") > k) | (F.col("np") > k)
+    ).count()
+    assert viol == 0
+
+    # subset of the uncapped batch interval join
+    from gov_ec_pipeline_etl_spark.plans.util import T
+
+    ev = T(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    full = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 24 HOURS")),
+    ).select("click_id", "purchase_id")
+    extra = out.select("click_id", "purchase_id").exceptAll(full).count()
+    assert extra == 0
