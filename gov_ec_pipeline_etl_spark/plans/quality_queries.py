@@ -627,6 +627,7 @@ _U65_ORACLE = f"""
 @register(
     "u65_source_quota_cap",
     oracle=_U65_ORACLE,
+    bench=True,
     doc="Per-source document quota (RefinedWeb-style domain cap): each "
     "source keeps at most K=200 documents ranked by t02's quality score "
     "(total order: quality DESC, doc_id — the repo tie rule), reported "
