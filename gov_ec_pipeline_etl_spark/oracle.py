@@ -142,13 +142,25 @@ def _fast_compare(
 def compare(
     spark_df, oracle_sql: str, sf_dir: str, con: duckdb.DuckDBPyConnection | None = None
 ) -> tuple[bool, str]:
-    """Return (match, message). Message describes the first divergence."""
+    """Return (match, message). Message describes the first divergence.
+
+    On match, the message carries the engine-vs-oracle wall split
+    (``eng Xs orc Ys``) so long gate sessions attribute their per-query
+    cost without a rerun — the r5/r6 x58 "gate entry looks slow" chases
+    were oracle-side both times, but the artifact alone couldn't show
+    it."""
+    import time as _time
+
     own_con = con is None
     if own_con:
         con = duckdb_connection(sf_dir)
     try:
+        t0 = _time.time()
         spark_pdf = spark_df.toPandas()
+        t_eng = _time.time() - t0
+        t0 = _time.time()
         duck_pdf = con.execute(oracle_sql).fetchdf()
+        t_orc = _time.time() - t0
     finally:
         if own_con:
             con.close()
@@ -172,13 +184,15 @@ def compare(
                 )
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row count mismatch: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
+    split = f", eng {t_eng:.1f}s orc {t_orc:.1f}s"
     if len(spark_pdf) > _FAST_COMPARE_ROWS:
-        return _fast_compare(spark_pdf, duck_pdf, s_cols)
+        ok, msg = _fast_compare(spark_pdf, duck_pdf, s_cols)
+        return ok, (msg[:-1] + split + ")") if ok else msg
     s_rows, d_rows = canonical_rows(spark_pdf), canonical_rows(duck_pdf)
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
         if a != b:
             return False, f"row {i} differs (cols {s_cols}):\n  spark : {a}\n  duckdb: {b}"
-    return True, f"ok ({len(s_rows)} rows)"
+    return True, f"ok ({len(s_rows)} rows{split})"
 
 
 def run_all(
