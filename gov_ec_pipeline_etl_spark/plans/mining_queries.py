@@ -829,3 +829,227 @@ def x63_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# u66: KMV (k-minimum-values) sketch set algebra — union AND intersection
+# distinct estimates (Beyer et al. 2007), the set operation HLL union
+# cannot express. Unlike u54 (engine-specific DataSketches registers,
+# only the accuracy BOUND is oracled), KMV over the portable 60-bit hash
+# is cross-engine deterministic end to end: bottom-k sets, kth-minimum,
+# match counts, and the final floor-quantized estimates hash-check
+# exactly against the DuckDB replay.
+# ---------------------------------------------------------------------------
+
+from gov_ec_pipeline_etl_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+)
+
+_KMV_K = 256
+# hash domain is 60 bits (md5 hex prefix of 15 nibbles)
+_KMV_DOMAIN = float(1 << 60)
+# audience = users with an ODD number of type-t events — a
+# distribution-free ~50% slice (value-threshold cuts degenerate: the
+# synthetic generators give every user every type, and value quantiles
+# differ between the driver's parquet and gen_testdata's, so any fixed
+# cut is dense on one and empty on the other). Odd-count membership is
+# ~Binomial(1/2) per (type, user), so pair unions run ~75% and
+# intersections ~25% of users — non-degenerate set algebra everywhere.
+
+_U66_ORACLE = f"""
+    WITH aud AS (
+      SELECT event_type AS t, user_id
+      FROM events GROUP BY event_type, user_id
+      HAVING COUNT(*) % 2 = 1
+    ),
+    hashes AS (
+      SELECT DISTINCT t,
+             {portable_hash64_sql("CAST(user_id AS VARCHAR)", 0)} AS h
+      FROM aud
+    ),
+    bk AS (
+      SELECT t, h FROM (
+        SELECT t, h,
+               ROW_NUMBER() OVER (PARTITION BY t ORDER BY h) AS rn
+        FROM hashes
+      ) WHERE rn <= {_KMV_K}
+    ),
+    pairs AS (
+      SELECT x.t AS ta, y.t AS tb
+      FROM (SELECT DISTINCT t FROM bk) x
+      JOIN (SELECT DISTINCT t FROM bk) y ON x.t < y.t
+    ),
+    merged AS (
+      SELECT p.ta, p.tb, b.h,
+             MAX(CASE WHEN b.t = p.ta THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN b.t = p.tb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN bk b ON b.t = p.ta OR b.t = p.tb
+      GROUP BY p.ta, p.tb, b.h
+    ),
+    union_k AS (
+      SELECT ta, tb, h, in_a, in_b FROM (
+        SELECT ta, tb, h, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        FROM merged
+      ) WHERE rn <= {_KMV_K}
+    ),
+    sketch AS (
+      SELECT ta, tb,
+             CAST(COUNT(*) AS BIGINT) AS n_sketch,
+             MAX(h) AS hk,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS j
+      FROM union_k GROUP BY ta, tb
+    ),
+    du AS (
+      SELECT t, user_id FROM aud
+    ),
+    exact_flags AS (
+      SELECT p.ta, p.tb, d.user_id,
+             MAX(CASE WHEN d.t = p.ta THEN 1 ELSE 0 END) AS has_a,
+             MAX(CASE WHEN d.t = p.tb THEN 1 ELSE 0 END) AS has_b
+      FROM pairs p JOIN du d ON d.t = p.ta OR d.t = p.tb
+      GROUP BY p.ta, p.tb, d.user_id
+    ),
+    exact AS (
+      SELECT ta, tb,
+             CAST(COUNT(*) AS BIGINT) AS exact_union,
+             CAST(SUM(has_a * has_b) AS BIGINT) AS exact_intersect
+      FROM exact_flags GROUP BY ta, tb
+    )
+    SELECT s.ta, s.tb,
+           CASE WHEN s.n_sketch < {_KMV_K} THEN 'exact'
+                ELSE 'estimate' END AS mode,
+           CASE WHEN s.n_sketch < {_KMV_K} THEN CAST(s.n_sketch AS DOUBLE)
+                ELSE FLOOR({_KMV_K - 1}.0 * {_KMV_DOMAIN!r} / s.hk * 1e6)
+                     / 1e6 END AS union_est,
+           CASE WHEN s.n_sketch < {_KMV_K} THEN CAST(s.j AS DOUBLE)
+                ELSE FLOOR(CAST(s.j AS DOUBLE) / {_KMV_K}
+                           * ({_KMV_K - 1}.0 * {_KMV_DOMAIN!r} / s.hk)
+                           * 1e6) / 1e6 END AS intersect_est,
+           FLOOR(CAST(s.j AS DOUBLE) / s.n_sketch * 1e6) / 1e6
+             AS jaccard_est,
+           e.exact_union, e.exact_intersect
+    FROM sketch s JOIN exact e ON s.ta = e.ta AND s.tb = e.tb
+"""
+
+
+@register(
+    "u66_kmv_set_ops",
+    oracle=_U66_ORACLE,
+    doc="KMV (k-minimum-values, k=256) sketch set algebra over per-"
+    "event-type user audiences: distinct-count estimates for the UNION "
+    "and the INTERSECTION of every type pair — the set operation HLL "
+    "union cannot express (u54 completes union only). Estimator: "
+    "(k-1)*2^60/h_k on the kth-minimum of the merged bottom-k sets; "
+    "intersection = (j/k)*union_est where j counts union-sketch members "
+    "present in BOTH sides; degenerate small audiences (union sketch "
+    "short of k) collapse to exact mode. Built on the portable 60-bit "
+    "hash, so — unlike engine-opaque HLL registers — every intermediate "
+    "(bottom-k sets, h_k, j) and the floor-quantized estimates are "
+    "cross-engine deterministic and the DuckDB oracle hash-checks them "
+    "exactly, alongside exact union/intersection audit columns. Scale "
+    "shape: one distinct-agg on (type, hash), bottom-k via rank<=k "
+    "(WindowGroupLimit — map tasks pre-truncate to k per type), then "
+    "all sketch algebra on k*types rows; the exact audit is one "
+    "(pair, user) aggregation whose fan-out is bounded by types-1. At "
+    "100 TB the audit columns drop and the sketch path alone touches "
+    "the data once.",
+    tags=("sketch", "kmv", "set-ops", "mining", "scale-guard"),
+)
+def u66_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("t"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") % 2 == 1)
+        .select("t", "user_id")
+    )
+    hashes = ev.select(
+        "t", portable_hash64(F.col("user_id").cast("string")).alias("h")
+    )
+    wk = Window.partitionBy("t").orderBy("h")
+    bk = (
+        hashes.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+
+    types = bk.select("t").distinct()
+    pairs = (
+        types.alias("x")
+        .join(types.alias("y"), F.col("x.t") < F.col("y.t"))
+        .select(F.col("x.t").alias("ta"), F.col("y.t").alias("tb"))
+    )
+
+    merged = (
+        pairs.join(
+            F.broadcast(bk),
+            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max(
+                F.when(F.col("t") == F.col("ta"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("t") == F.col("tb"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    union_k = merged.withColumn("rn", F.row_number().over(wp)).where(
+        F.col("rn") <= _KMV_K
+    )
+    sketch = union_k.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("j"),
+    )
+
+    du = ev
+    exact = (
+        pairs.join(
+            du, (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb"))
+        )
+        .groupBy("ta", "tb", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("t") == F.col("ta"), 1).otherwise(0)
+            ).alias("has_a"),
+            F.max(
+                F.when(F.col("t") == F.col("tb"), 1).otherwise(0)
+            ).alias("has_b"),
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.col("has_a") * F.col("has_b")).alias("exact_intersect"),
+        )
+    )
+
+    est = F.lit(float(_KMV_K - 1)) * F.lit(_KMV_DOMAIN) / F.col("hk")
+    short = F.col("n_sketch") < _KMV_K
+    return sketch.join(F.broadcast(exact), ["ta", "tb"]).select(
+        "ta",
+        "tb",
+        F.when(short, F.lit("exact")).otherwise(F.lit("estimate")).alias(
+            "mode"
+        ),
+        F.when(short, F.col("n_sketch").cast("double"))
+        .otherwise(F.floor(est * 1e6) / 1e6)
+        .alias("union_est"),
+        F.when(short, F.col("j").cast("double"))
+        .otherwise(
+            F.floor(F.col("j").cast("double") / _KMV_K * est * 1e6) / 1e6
+        )
+        .alias("intersect_est"),
+        (
+            F.floor(
+                F.col("j").cast("double") / F.col("n_sketch") * 1e6
+            )
+            / 1e6
+        ).alias("jaccard_est"),
+        "exact_union",
+        "exact_intersect",
+    )

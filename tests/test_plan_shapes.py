@@ -450,3 +450,12 @@ def test_v09_cap_prepass_uses_window_group_limit(spark):
     )
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:800]
+
+
+def test_u66_kmv_bottomk_is_window_group_limit(spark):
+    """Both KMV bottom-k passes (per-type, per-pair-union) must compile
+    to WindowGroupLimit — a full window sort would ship every audience
+    through the exchange to keep 256 rows."""
+    plan = _plan(spark, "u66_kmv_set_ops")
+    assert plan.count("WindowGroupLimit") >= 2, plan[:800]
+    assert "SortMergeJoin" not in plan
