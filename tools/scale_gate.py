@@ -101,6 +101,13 @@ def _gate(sf_dir: str, skips: dict[str, str]) -> dict:
             continue
         name, status, detail, secs = m.groups()
         results[name] = {"status": status, "sec": float(secs)}
+        # engine-vs-oracle wall split (oracle.py appends it to matched
+        # rows) — carried into the artifact so slow gate entries
+        # attribute without a rerun (the r5/r6 x58 chases)
+        split = re.search(r"eng ([0-9.]+)s orc ([0-9.]+)s", detail)
+        if split:
+            results[name]["eng_sec"] = float(split.group(1))
+            results[name]["orc_sec"] = float(split.group(2))
         if status in ("MISMATCH", "ERROR"):
             failures.append(f"{name}: {status}{detail}")
     return {
@@ -112,6 +119,11 @@ def _gate(sf_dir: str, skips: dict[str, str]) -> dict:
         "skipped": skips,
         "wall_sec": round(time.time() - t0, 1),
         "per_query_sec": {n: r["sec"] for n, r in sorted(results.items())},
+        "per_query_split": {
+            n: {"eng": r["eng_sec"], "orc": r["orc_sec"]}
+            for n, r in sorted(results.items())
+            if "eng_sec" in r
+        },
     }
 
 
