@@ -1053,3 +1053,123 @@ def u66_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union",
         "exact_intersect",
     )
+
+
+# ---------------------------------------------------------------------------
+# u67: join-key skew audit — the DETECTOR for the hazard class the
+# round-6 skew gate exercises. Before shipping a 100 TB join, measure
+# key-mass concentration on each fact-table foreign key and emit the
+# physical-strategy recommendation (broadcast / AQE default / salt-or-
+# cap). The v01 root cause (a 30%-hot key turning an interval join
+# output-quadratic) is exactly what top1_share flags upstream.
+# ---------------------------------------------------------------------------
+
+# (table, key column) pairs a fact-to-dimension join would shuffle on
+_SKEW_AUDIT_COLS = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_partkey"),
+    ("events", "user_id"),
+)
+_SKEW_HOT = 0.05   # top-1 key holding >5% of rows: salt or cap
+_SKEW_WARM = 0.20  # top-10 keys holding >20%: lean on AQE skew join
+
+
+def _u67_leg_sql(table: str, col: str) -> str:
+    return f"""
+        SELECT '{table}' AS tbl, '{col}' AS key_col,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               FLOOR(MAX(n) * 1e6 / SUM(n)) / 1e6 AS top1_share,
+               FLOOR(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) * 1e6
+                     / SUM(n)) / 1e6 AS top10_share,
+               CASE
+                 WHEN MAX(n) * 1.0 / SUM(n) > {_SKEW_HOT}
+                   THEN 'salt-or-cap'
+                 WHEN SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) * 1.0
+                      / SUM(n) > {_SKEW_WARM}
+                   THEN 'aqe-skew-join'
+                 ELSE 'hash-default'
+               END AS strategy
+        FROM (
+          SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, k) AS rk
+          FROM (
+            SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM {table} GROUP BY {col}
+          )
+        )
+    """
+
+
+_U67_ORACLE = "\n UNION ALL \n".join(
+    _u67_leg_sql(t, c) for t, c in _SKEW_AUDIT_COLS
+)
+
+
+@register(
+    "u67_skew_audit",
+    oracle=_U67_ORACLE,
+    doc="Join-key skew audit over every fact-table foreign key a "
+    "dimension join would shuffle on: per (table, key) the key count, "
+    "top-1 and top-10 key mass shares (floor-quantized 6dp, total "
+    "tie order count DESC, key ASC), and the physical-strategy verdict "
+    "the shares imply — >5% on one key: salt-or-cap (the v01 class: no "
+    "join strategy shrinks a per-key-quadratic answer, the guard must "
+    "cut key mass upstream, see v09); >20% on ten keys: AQE skew-join "
+    "territory; else default hash exchange. This is the detector for "
+    "the hazard class SCALE_sf1_skew.json exercises: on the skewed "
+    "generator the audit flips orders/events keys to salt-or-cap while "
+    "uniform data reads hash-default. Scale shape: one map-side-"
+    "combinable count per key, one scalar agg, and a TakeOrdered "
+    "top-10 (per-task partial top-k — deliberately NOT a rank window, "
+    "which would single-task the billion-key frame) per audited "
+    "column; output is columns-audited-scale.",
+    tags=("skew", "audit", "scale-guard", "mining"),
+)
+def u67_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, col in _SKEW_AUDIT_COLS:
+        counts = (
+            T(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # totals: one map-side-combinable agg over the keys frame; the
+        # top-1 share needs only max(n), no ordering
+        totals = counts.agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_n"),
+        )
+        # top-10 mass: orderBy+limit compiles to TakeOrdered (per-task
+        # partial top-k, never a global sort) — a bare rank window here
+        # would single-task the billion-key frame at 100 TB
+        top10 = (
+            counts.orderBy(F.desc("n"), F.asc("k"))
+            .limit(10)
+            .agg(F.sum("n").alias("top10_n"))
+        )
+        leg = totals.crossJoin(F.broadcast(top10)).select(
+            F.lit(table).alias("tbl"),
+            F.lit(col).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            (F.floor(F.col("max_n") * 1e6 / F.col("n_rows")) / 1e6).alias(
+                "top1_share"
+            ),
+            (
+                F.floor(F.col("top10_n") * 1e6 / F.col("n_rows")) / 1e6
+            ).alias("top10_share"),
+            F.when(
+                F.col("max_n") * 1.0 / F.col("n_rows") > _SKEW_HOT,
+                F.lit("salt-or-cap"),
+            )
+            .when(
+                F.col("top10_n") * 1.0 / F.col("n_rows") > _SKEW_WARM,
+                F.lit("aqe-skew-join"),
+            )
+            .otherwise(F.lit("hash-default"))
+            .alias("strategy"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

@@ -459,3 +459,12 @@ def test_u66_kmv_bottomk_is_window_group_limit(spark):
     plan = _plan(spark, "u66_kmv_set_ops")
     assert plan.count("WindowGroupLimit") >= 2, plan[:800]
     assert "SortMergeJoin" not in plan
+
+
+def test_u67_top10_is_take_ordered_not_window(spark):
+    """u67's top-10 key mass must come from TakeOrdered (per-task
+    partial top-k) — a bare rank window over the keys frame would
+    single-task a billion keys at 100 TB."""
+    plan = _plan(spark, "u67_skew_audit")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "Window" not in plan, plan[:800]
