@@ -3,6 +3,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The driver records only the LAST ~2000 characters of stdout; rounds 5-6
+lost their bench evidence because the per-query dict (70 entries with
+cold legs) outran that window and Spark's console progress bar polluted
+the tail. So the final line is kept COMPACT — steady per-query walls at
+2 decimals only — while the full-precision detail (including the cold
+leg) is written to BENCH_DETAIL.json next to this script, committed to
+git, and pointed to by the line's "detail" key. Console progress is
+disabled for the bench session.
+
 Queries execute via the noop sink (full physical execution, nothing
 collected to the driver) — the honest measurement for an engine meant to
 write results out, not show them.
@@ -28,7 +37,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("gov-ec-pipeline-etl-spark-bench")
+    # showConsoleProgress writes \r-escaped progress bars into the
+    # session's console output; the driver's tail capture must see only
+    # the final JSON line (BENCH_r05's recorded tail was 100% progress
+    # escapes).
+    spark = get_spark(
+        "gov-ec-pipeline-etl-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     bench_queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
 
     # Steady-state measurement (TPC-style): one full warmup execution per
@@ -66,18 +82,42 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    value_cold = round(sum(cold.values()), 3)
+    # Full-precision per-query record (steady + cold) goes to a committed
+    # file; the stdout line carries only what fits the driver's 2000-char
+    # tail window with margin (~35 chars/query at 2 dp — room for ~50
+    # bench queries before the window is at risk again).
+    detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "value_cold": value_cold,
+                "unit": "sec",
+                "queries": timings,
+                "queries_cold": cold,
+                "sf": sf,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "value_cold": round(sum(cold.values()), 3),
+                "queries": {n: round(t, 2) for n, t in timings.items()},
+                "value_cold": value_cold,
                 "sf": sf,
+                "detail": "BENCH_DETAIL.json",
             }
-        )
+        ),
+        flush=True,
     )
 
 

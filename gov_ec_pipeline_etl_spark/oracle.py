@@ -136,11 +136,14 @@ def _fast_compare(
                 return False, f"column {c} differs (large-result fast compare)"
         elif not a.equals(b):
             return False, f"column {c} differs (large-result fast compare)"
-    return True, f"ok ({len(s)} rows, fast compare)"
+    # success message is assembled by compare() (single format owner —
+    # splicing timing into a string built here proved fragile)
+    return True, "fast compare"
 
 
 def compare(
-    spark_df, oracle_sql: str, sf_dir: str, con: duckdb.DuckDBPyConnection | None = None
+    spark_df, oracle_sql: str, sf_dir: str, con: duckdb.DuckDBPyConnection | None = None,
+    t_plan: float = 0.0,
 ) -> tuple[bool, str]:
     """Return (match, message). Message describes the first divergence.
 
@@ -148,7 +151,11 @@ def compare(
     (``eng Xs orc Ys``) so long gate sessions attribute their per-query
     cost without a rerun — the r5/r6 x58 "gate entry looks slow" chases
     were oracle-side both times, but the artifact alone couldn't show
-    it."""
+    it. ``t_plan`` is the wall the CALLER spent building ``spark_df``:
+    streaming-derived queries (v0x) execute micro-batches eagerly inside
+    the plan function, so timing only toPandas() here would attribute a
+    12 s query as "eng 0.1s" — run_all passes the plan-build wall in and
+    it is folded into the engine leg."""
     import time as _time
 
     own_con = con is None
@@ -157,7 +164,7 @@ def compare(
     try:
         t0 = _time.time()
         spark_pdf = spark_df.toPandas()
-        t_eng = _time.time() - t0
+        t_eng = _time.time() - t0 + t_plan
         t0 = _time.time()
         duck_pdf = con.execute(oracle_sql).fetchdf()
         t_orc = _time.time() - t0
@@ -184,15 +191,15 @@ def compare(
                 )
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row count mismatch: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
-    split = f", eng {t_eng:.1f}s orc {t_orc:.1f}s"
+    split = f"eng {t_eng:.1f}s orc {t_orc:.1f}s"
     if len(spark_pdf) > _FAST_COMPARE_ROWS:
         ok, msg = _fast_compare(spark_pdf, duck_pdf, s_cols)
-        return ok, (msg[:-1] + split + ")") if ok else msg
+        return ok, f"ok ({len(spark_pdf)} rows, {msg}, {split})" if ok else msg
     s_rows, d_rows = canonical_rows(spark_pdf), canonical_rows(duck_pdf)
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
         if a != b:
             return False, f"row {i} differs (cols {s_cols}):\n  spark : {a}\n  duckdb: {b}"
-    return True, f"ok ({len(s_rows)} rows{split})"
+    return True, f"ok ({len(s_rows)} rows, {split})"
 
 
 def run_all(
@@ -234,8 +241,11 @@ def run_all(
                     from gov_ec_pipeline_etl_spark.plans.registry import oracle_text
 
                     df = q.spark(spark, sf_dir)
+                    t_plan = _time.time() - t0
                     try:
-                        ok, msg = compare(df, oracle_text(q, sf_dir), sf_dir, con)
+                        ok, msg = compare(
+                            df, oracle_text(q, sf_dir), sf_dir, con, t_plan=t_plan
+                        )
                     finally:
                         unpersist_inputs(df)
                     out[name] = ("OK " if ok else "MISMATCH ") + msg

@@ -965,9 +965,14 @@ def u66_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") % 2 == 1)
         .select("t", "user_id")
     )
+    # distinct BEFORE the bottom-k window, mirroring the oracle's
+    # SELECT DISTINCT (t, h): a 60-bit collision between two same-type
+    # users must consume ONE rn slot on both engines or the bottom-k
+    # boundary shifts (negligible at gate scales, but the parity claim
+    # is exactness, not probability)
     hashes = ev.select(
         "t", portable_hash64(F.col("user_id").cast("string")).alias("h")
-    )
+    ).distinct()
     wk = Window.partitionBy("t").orderBy("h")
     bk = (
         hashes.withColumn("rn", F.row_number().over(wk))

@@ -11,14 +11,13 @@ once per weekly run", pipeline.py:40-140).
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from gov_ec_pipeline_etl_spark.plans.util import T
+from gov_ec_pipeline_etl_spark.streaming.staging import session_staging_dir
 
 
 def tumbling_window_agg(events: DataFrame) -> DataFrame:
@@ -46,9 +45,7 @@ def run_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized result table."""
     # File source wants a directory of files; stage the single parquet
     # file via the batch reader (also normalizes the nanos timestamp).
-    staging = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{uuid.uuid4().hex[:8]}"
-    )
+    staging = session_staging_dir("events_stream")
     events = T(spark, sf_dir, "events")
     events.write.mode("overwrite").parquet(staging)
 
@@ -103,9 +100,7 @@ def streaming_dedup(events: DataFrame, within: str = "30 minutes") -> DataFrame:
 def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute streaming_dedup over a replayed event stream (with planted
     duplicate rows), materialized via memory sink."""
-    staging = os.path.join(
-        tempfile.gettempdir(), f"events_dedup_{uuid.uuid4().hex[:8]}"
-    )
+    staging = session_staging_dir("events_dedup")
     events = T(spark, sf_dir, "events")
     # plant exact duplicates: every event twice → dedup must halve it
     events.unionByName(events).write.mode("overwrite").parquet(staging)
@@ -173,9 +168,7 @@ def sliding_window_agg(
 def run_sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window aggregation as a real stream run (same harness as
     the tumbling variant)."""
-    staging = os.path.join(
-        tempfile.gettempdir(), f"events_slide_{uuid.uuid4().hex[:8]}"
-    )
+    staging = session_staging_dir("events_slide")
     events = T(spark, sf_dir, "events")
     events.write.mode("overwrite").parquet(staging)
     stream = spark.readStream.schema(events.schema).parquet(staging)
@@ -199,9 +192,7 @@ def run_stream_static_enrichment(
     customer dimension (re-read per micro-batch, broadcast by size) —
     the streaming face of the category-map lookup (reference J2/A1).
     Unmatched users keep null segment (left join), counted per segment."""
-    staging = os.path.join(
-        tempfile.gettempdir(), f"events_enrich_{uuid.uuid4().hex[:8]}"
-    )
+    staging = session_staging_dir("events_enrich")
     events = T(spark, sf_dir, "events")
     events.write.mode("overwrite").parquet(staging)
     stream = spark.readStream.schema(events.schema).parquet(staging)
@@ -273,9 +264,7 @@ def run_attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     advance mid-replay and drop rows — the finite-replay equivalence to
     the batch interval join the oracle asserts.
     """
-    staging = os.path.join(
-        tempfile.gettempdir(), f"events_attr_{uuid.uuid4().hex[:8]}"
-    )
+    staging = session_staging_dir("events_attr")
     events = T(spark, sf_dir, "events")
     events.write.mode("overwrite").parquet(staging)
 
@@ -336,9 +325,7 @@ def run_capped_attribution_stream(
             .drop("__rn")
         )
 
-    staging = os.path.join(
-        tempfile.gettempdir(), f"events_capped_{uuid.uuid4().hex[:8]}"
-    )
+    staging = session_staging_dir("events_capped")
     _cap("click").write.mode("overwrite").parquet(staging + "_c")
     _cap("purchase").write.mode("overwrite").parquet(staging + "_p")
 

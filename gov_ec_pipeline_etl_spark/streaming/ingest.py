@@ -21,11 +21,10 @@ path when accepted arrivals should join the corpus snapshot.
 
 from __future__ import annotations
 
-import os
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from gov_ec_pipeline_etl_spark.streaming.staging import session_staging_dir
 
 
 def run_streaming_neardup_ingest(
@@ -45,8 +44,7 @@ def run_streaming_neardup_ingest(
         read_sketch_index,
     )
 
-    run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"neardup_ingest_{run}")
+    base = session_staging_dir("neardup_ingest")
     idx, staging, out, ckpt = (
         f"{base}/idx",
         f"{base}/arrivals",
@@ -103,8 +101,7 @@ def run_streaming_quality_gate(
     Kafka/file source."""
     from gov_ec_pipeline_etl_spark.operators.quality import gopher_repetition
 
-    run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"quality_gate_{run}")
+    base = session_staging_dir("quality_gate")
     staging, out, ckpt = f"{base}/docs", f"{base}/out", f"{base}/ckpt"
     docs.repartition(n_batches).write.mode("overwrite").parquet(staging)
 
@@ -153,8 +150,7 @@ def run_streaming_bpe_meter(
 
     from gov_ec_pipeline_etl_spark.operators.bpe import apply_bpe
 
-    run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"bpe_meter_{run}")
+    base = session_staging_dir("bpe_meter")
     staging, out, ckpt = f"{base}/docs", f"{base}/out", f"{base}/ckpt"
     docs.repartition(n_batches).write.mode("overwrite").parquet(staging)
 
@@ -209,8 +205,7 @@ def run_streaming_pii_gate(
     same loop runs unbounded on a Kafka/file source."""
     from gov_ec_pipeline_etl_spark.operators.hygiene import pii_scrub
 
-    run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"pii_gate_{run}")
+    base = session_staging_dir("pii_gate")
     staging, out, ckpt = f"{base}/docs", f"{base}/out", f"{base}/ckpt"
     docs.repartition(n_batches).write.mode("overwrite").parquet(staging)
 
@@ -251,8 +246,7 @@ def run_streaming_cms_ingest(
 
     from gov_ec_pipeline_etl_spark.functions.hashing import portable_hash64
 
-    run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"cms_ingest_{run}")
+    base = session_staging_dir("cms_ingest")
     staging, store, ckpt = f"{base}/docs", f"{base}/grids", f"{base}/ckpt"
     docs.repartition(n_batches).write.mode("overwrite").parquet(staging)
 
@@ -338,8 +332,7 @@ def run_streaming_hll_ingest(
     compacts by union, and no raw user id is retained."""
     import pyspark.sql.functions as F
 
-    run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"hll_ingest_{run}")
+    base = session_staging_dir("hll_ingest")
     staging, store, ckpt = f"{base}/events", f"{base}/sketches", f"{base}/ckpt"
     events.repartition(n_batches).write.mode("overwrite").parquet(staging)
 

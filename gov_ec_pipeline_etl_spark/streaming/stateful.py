@@ -12,8 +12,6 @@ transfer, GroupStateTimeout available for eviction at scale.
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 from collections.abc import Iterator
 
@@ -30,6 +28,7 @@ from pyspark.sql.types import (
 )
 
 from gov_ec_pipeline_etl_spark.plans.util import T
+from gov_ec_pipeline_etl_spark.streaming.staging import session_staging_dir
 
 STATE_SCHEMA = StructType(
     [
@@ -90,9 +89,7 @@ def run_user_counters(
     """Execute the stateful operator over the events table replayed as
     ``n_chunks`` files (state must survive across micro-batches);
     returns the LAST emitted row per user."""
-    staging = os.path.join(
-        tempfile.gettempdir(), f"events_state_{uuid.uuid4().hex[:8]}"
-    )
+    staging = session_staging_dir("events_state")
     events = T(spark, sf_dir, "events").select("user_id", "ts", "value")
     events.repartition(n_chunks).write.mode("overwrite").parquet(staging)
 
@@ -207,9 +204,7 @@ def run_streaming_sessionize(
     """Stream the events table as ``n_chunks`` micro-batches through
     the stateful session assembler; return the FINAL session set per
     user (the emission where that user had seen all its events)."""
-    staging = os.path.join(
-        tempfile.gettempdir(), f"events_sess_{uuid.uuid4().hex[:8]}"
-    )
+    staging = session_staging_dir("events_sess")
     events = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     # arbitrary split — the operator is batch-order robust by design
     events.repartition(n_chunks).write.mode("overwrite").parquet(staging)

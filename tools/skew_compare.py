@@ -32,6 +32,7 @@ def load(path: str) -> dict:
     gate = art.get("gate") or {}
     return {
         "per_query": gate.get("per_query_sec") or {},
+        "split": gate.get("per_query_split") or {},
         "skipped": gate.get("skipped") or {},
         "n_ok": gate.get("n_ok"),
         "exit_code": gate.get("exit_code"),
@@ -51,18 +52,44 @@ def main() -> None:
     rows = []
     for name in common:
         u, s = uni["per_query"][name], skw["per_query"][name]
-        ratio = s / u if u > 0 else float("inf")
-        rows.append((ratio, name, u, s))
-    rows.sort(reverse=True)
+        # When BOTH artifacts carry the eng/orc split for this query, the
+        # flag ratio is computed on the ENGINE leg only — a DuckDB-side
+        # slowdown on skewed data (the r6 u13/u02/d06 pattern: 1400-1700 s
+        # pair-replay oracles with flat engine legs) must not flag a query
+        # as an engine skew hazard. Total wall is the fallback for
+        # artifacts predating per_query_split.
+        us = uni["split"].get(name)
+        ss = skw["split"].get(name)
+        if us and ss:
+            eu, es = us["eng"], ss["eng"]
+            ratio = es / eu if eu > 0 else float("inf")
+            rows.append((ratio, name, u, s, eu, es))
+        else:
+            ratio = s / u if u > 0 else float("inf")
+            rows.append((ratio, name, u, s, None, None))
+    rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
 
+    # the wall floor applies to the leg the ratio was computed on
     flagged = [
-        r for r in rows if r[0] > args.threshold and r[3] >= MIN_WALL
+        r
+        for r in rows
+        if r[0] > args.threshold and (r[5] if r[5] is not None else r[3]) >= MIN_WALL
     ]
-    wide = max((len(n) for _, n, _, _ in rows), default=5)
-    print(f"{'query':<{wide}}  uniform_s  skewed_s  ratio")
-    for ratio, name, u, s in rows[:25]:
-        mark = " <-- FLAG" if (ratio, name, u, s) in flagged else ""
-        print(f"{name:<{wide}}  {u:9.1f}  {s:8.1f}  {ratio:5.2f}{mark}")
+    wide = max((len(r[1]) for r in rows), default=5)
+    print(f"{'query':<{wide}}  uniform_s  skewed_s  eng_u_s  eng_s_s  ratio(basis)")
+    for r in rows[:25]:
+        ratio, name, u, s, eu, es = r
+        mark = " <-- FLAG" if r in flagged else ""
+        if eu is not None:
+            print(
+                f"{name:<{wide}}  {u:9.1f}  {s:8.1f}  {eu:7.1f}  {es:7.1f}"
+                f"  {ratio:5.2f} (eng){mark}"
+            )
+        else:
+            print(
+                f"{name:<{wide}}  {u:9.1f}  {s:8.1f}  {'-':>7}  {'-':>7}"
+                f"  {ratio:5.2f} (wall){mark}"
+            )
     print()
     print(
         f"common={len(common)}  uniform_only="
@@ -74,11 +101,11 @@ def main() -> None:
         f"{sorted(set(skw['skipped']) - set(uni['skipped']))}"
     )
     print(
-        f"flagged >{args.threshold}x (skewed wall >= {MIN_WALL}s): "
-        f"{[n for _, n, _, _ in flagged] or 'none'}"
+        f"flagged >{args.threshold}x on ratio basis (flagged-side wall >= "
+        f"{MIN_WALL}s): {[r[1] for r in flagged] or 'none'}"
     )
-    tot_u = sum(u for _, _, u, _ in rows)
-    tot_s = sum(s for _, _, _, s in rows)
+    tot_u = sum(r[2] for r in rows)
+    tot_s = sum(r[3] for r in rows)
     print(
         f"common-query wall: uniform {tot_u:.1f}s -> skewed {tot_s:.1f}s "
         f"({tot_s / tot_u:.2f}x)" if tot_u else "no common queries"
