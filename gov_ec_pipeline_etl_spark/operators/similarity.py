@@ -131,16 +131,48 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
-def bucket_key(vec: str, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id against fixed hyperplanes (int key).
-    Plane coefficients are Python floats, so each sign test unrolls to a
-    literal-weighted sum — pure codegen, no array literals or HOFs.
-    Built as one SQL string for the same plan-time reason as ``dot``."""
-    bits = []
-    for i, p in enumerate(planes):
-        proj = " + ".join(f"{vec}[{j}]*{_dlit(c)}" for j, c in enumerate(p))
-        bits.append(f"(CASE WHEN {proj} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(bits))
+def bucket_key_udf(planes: list[list[float]]):
+    """Sign-bit bucket id against fixed hyperplanes, as ONE Arrow-batched
+    kernel with STRICT left-to-right accumulation over dimensions.
+
+    Replaces the unrolled literal-SQL chain (``v[0]*c0 + v[1]*c1 + …``
+    per plane): at 8 planes × 64 dims that chain was ~512 multiply-add
+    terms whose whole-stage-codegen method exceeded Janino's 64 KB limit
+    — ``ERROR CodeGenerator: Failed to compile`` and the ENTIRE join
+    stage fell back to interpreted evaluation (round-6 verdict, s03/u19
+    the only two queries still on the literal kernel).
+
+    Oracle parity is the invariant that kept the literal kernel alive:
+    the DuckDB CTE replays the same left-associated chain, and a BLAS
+    matmul (``v @ mat``, numpy pairwise summation) could flip a sign bit
+    on a near-zero projection. So this kernel does NOT matmul — it folds
+    dimension-by-dimension (``acc = acc + v[:, j] * mat[j, :]``), each
+    step an IEEE correctly-rounded elementwise multiply-then-add with no
+    FMA, which is bit-identical per (row, plane) to both the old unrolled
+    Spark chain and the oracle's SQL replay. O(rows · dim · planes)
+    arithmetic, constant-size plan, and the stage around it codegens
+    again. (Candidate-generation-only paths without an exact-replay
+    oracle use ``band_keys_udf``'s true matmul instead.)"""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = 1 << np.arange(len(planes), dtype=np.int64)
+    dim = mat.shape[0]
+
+    def _key(vcol):
+        if not len(vcol):
+            return pd.Series([], dtype="int64")
+        v = np.vstack(vcol.to_numpy())  # (n, dim)
+        acc = v[:, 0:1] * mat[0:1, :]  # (n, planes)
+        for j in range(1, dim):
+            acc = acc + v[:, j : j + 1] * mat[j : j + 1, :]
+        return pd.Series((acc >= 0.0).astype(np.int64) @ weights)
+
+    # real annotation objects: `from __future__ import annotations` turns
+    # inline hints into strings pandas_udf cannot resolve here
+    _key.__annotations__ = {"vcol": pd.Series, "return": pd.Series}
+    return pandas_udf(_key, "bigint")
 
 
 def band_keys_udf(planes_per_band: list[list[list[float]]]):
@@ -211,12 +243,13 @@ def lsh_cosine_topk(
     once either way)."""
     dim = vec_dim(corpus, vec_col)
     planes = hyperplanes(dim, n_planes, seed)
+    keyer = bucket_key_udf(planes)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
         )
         .withColumn("qn", l2_norm("qv", dim))
-        .withColumn("bucket", bucket_key("qv", planes))
+        .withColumn("bucket", keyer(F.col("qv")))
     )
     if multi_probe > 0:
         probes = F.array(
@@ -232,7 +265,7 @@ def lsh_cosine_topk(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         )
         .withColumn("cn", l2_norm("cv", dim))
-        .withColumn("bucket", bucket_key("cv", planes))
+        .withColumn("bucket", keyer(F.col("cv")))
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

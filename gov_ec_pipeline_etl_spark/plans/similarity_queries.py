@@ -124,8 +124,11 @@ def _keyed_cte(dim: int = 64, n_planes: int = 8) -> str:
     """``keyed AS (…)`` CTE replaying the engine's hyperplane bucket key
     in DuckDB SQL. The LSH is DETERMINISTIC literal arithmetic (seeded
     hyperplanes embedded as double literals), so DuckDB can reproduce
-    the bucket keys — each sign bit is the same left-to-right unrolled
-    projection the engine generates in ``bucket_key``. ``dim`` is
+    the bucket keys — each sign bit is the same left-associated
+    projection sum the engine's ``bucket_key_udf`` folds
+    dimension-by-dimension in its Arrow kernel (strict sequential
+    accumulation, no matmul, precisely so this replay stays
+    bit-identical). ``dim`` is
     pinned to the testdata embedding width (64 at every sf); the engine
     side still reads it from data, and a mismatch surfaces as an oracle
     failure rather than silence. Shared by s03 (full bucket+rerank
