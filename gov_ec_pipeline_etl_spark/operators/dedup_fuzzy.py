@@ -495,6 +495,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     portable: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -502,9 +503,32 @@ def minhash_lsh_pairs(
     bucket pair expansion on (band_idx, band_key) → distinct candidate
     pairs → exact-Jaccard verify on the shingle sets. The only shuffles
     are the band bucketing and the final distinct.
+
+    ``max_bucket`` is the candidate-budget knob (the v09 upstream-cap
+    pattern): each (band, key) bucket keeps only its ``max_bucket``
+    lowest ids (total order: id), bounding per-bucket pair fan-out to
+    C(max_bucket, 2) BY CONTRACT instead of by corpus statistics — on
+    an adversarial low-diversity corpus (the r6 skew gate's zipf vocab)
+    unbudgeted bucket occupancy is what made the funnel's near-dup
+    stage its one real engine mover (3.5×). The cap compiles to a
+    rank≤K window = WindowGroupLimit, so map tasks pre-truncate hot
+    buckets before the shuffle ever carries them; the follow-up
+    collect_list buffer is then bounded too. Deterministic (lowest-id
+    survivors), hence fully oracle-replayable; recall loss is confined
+    to pairs BOTH of whose members sort past the cap in EVERY shared
+    bucket. ``None`` keeps the exact LSH semantics (d02 parity).
     """
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (a bucket needs a pair)")
     sh = minhash_sketch(df, id_col, text_col, k, portable)
     banded = minhash_band_keys(sh, num_hashes, bands)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_idx", "band_key").orderBy("id")
+        banded = (
+            banded.withColumn("__rn", F.row_number().over(wb))
+            .where(F.col("__rn") <= max_bucket)
+            .drop("__rn")
+        )
     # Candidate generation carries IDs only, via ONE pass: group ids per
     # (band, key) bucket and expand in-bucket pairs. A self-join instead
     # would recompute the whole signature lineage per side (no CSE across

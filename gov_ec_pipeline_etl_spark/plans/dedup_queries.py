@@ -104,7 +104,12 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(k: int = 3, num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_oracle(
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> str:
     from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
         MINHASH_PRIME,
         minhash_coeffs,
@@ -122,15 +127,33 @@ def _minhash_oracle(k: int = 3, num_hashes: int = 12, bands: int = 4) -> str:
         f"{{'idx': {b}, 'key': md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], ','))}}"
         for b in range(bands)
     )
+
+    def _bucket_cap_sql(cap: int | None) -> str:
+        """Replay of the engine's max_bucket candidate budget: keep each
+        (band idx, key) bucket's ``cap`` lowest doc_ids — identical to
+        the rank≤K pre-truncation minhash_lsh_pairs applies."""
+        if cap is None:
+            return "SELECT doc_id, shingles, band FROM banded0"
+        return f"""
+          SELECT doc_id, shingles, band FROM (
+            SELECT doc_id, shingles, band,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY band.idx, band.key ORDER BY doc_id
+                   ) AS rn
+            FROM banded0
+          ) WHERE rn <= {cap}
+        """
+
     return f"""
         WITH corpus AS ({DIRTY_SQL}),
         toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
         sh AS (SELECT doc_id, {shingles_sql(k)} AS shingles FROM toksed),
         based AS (SELECT doc_id, shingles, {base} AS base FROM sh),
         sig AS (SELECT doc_id, shingles, [{sig_terms}] AS sig FROM based),
-        banded AS (
+        banded0 AS (
           SELECT doc_id, shingles, unnest([{band_terms}]) AS band FROM sig
         ),
+        banded AS ({_bucket_cap_sql(max_bucket)}),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                  a.shingles AS sh_a, b.shingles AS sh_b

@@ -2012,7 +2012,7 @@ def u34_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_oracle() -> str:
+def _funnel_oracle(max_bucket: int | None = None) -> str:
     from gov_ec_pipeline_etl_spark.operators.splits import (
         stratified_split_sql,
     )
@@ -2034,7 +2034,7 @@ def _funnel_oracle() -> str:
                  text || ' zz0 zz1 zz2' AS text, source
           FROM documents
         ),
-        pairs AS ({_minhash_oracle()}),
+        pairs AS ({_minhash_oracle(max_bucket=max_bucket)}),
         nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
         toksed2 AS (SELECT doc_id, {TOKS_SQL} AS toks FROM dirtyf),
         ev AS (
@@ -2099,6 +2099,12 @@ def _funnel_oracle() -> str:
     tags=("llm-pipeline", "dedup", "split", "audit", "funnel"),
 )
 def u35_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _curation_funnel(spark, sf_dir, max_bucket=None)
+
+
+def _curation_funnel(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None
+) -> DataFrame:
     from pyspark.sql import Window
 
     from gov_ec_pipeline_etl_spark.caching import hold
@@ -2126,6 +2132,7 @@ def u35_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         dirty.select("doc_id", "text"), "doc_id", "text",
         k=3, num_hashes=12, bands=4, jaccard_threshold=0.5,
+        max_bucket=max_bucket,
     )
     nd = pairs.select(F.col("id_b").alias("doc_id")).distinct().withColumn(
         "neardup", F.lit(1)
@@ -2181,6 +2188,35 @@ def u35_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hold(out, *getattr(pairs, "_persisted_inputs", []))
+
+
+# Candidate budget for the guarded funnel: C(64,2) ≈ 2k pairs per LSH
+# bucket worst-case. On benign corpora buckets hold near-dup groups
+# (occupancy ~2) and the cap never binds, so u68 ≡ u35 there; on the r6
+# skew corpus (zipf vocab, 30%-hot keys) the unbudgeted funnel was the
+# one real engine mover (3.5× — output-driven candidate growth), which
+# this bounds by contract.
+FUNNEL_BUCKET_CAP = 64
+
+
+@register(
+    "u68_capped_funnel",
+    oracle=lambda sf_dir: _funnel_oracle(max_bucket=FUNNEL_BUCKET_CAP),
+    doc="u35's whole-corpus curation funnel with the near-dup stage's "
+    "candidate budget made explicit (VERDICT r6 #4, the v09 pattern "
+    "applied to the capstone pipeline): every MinHash-LSH bucket keeps "
+    "only its FUNNEL_BUCKET_CAP lowest doc_ids before pair expansion, "
+    "so worst-case candidate volume is buckets × C(cap, 2) — bounded by "
+    "contract, not by corpus statistics. The cap compiles to "
+    "WindowGroupLimit (map-side pre-truncation of hot buckets before "
+    "the shuffle), and is deterministic (lowest-id survivors), so the "
+    "DuckDB oracle replays it exactly with a rank CTE. Recall loss is "
+    "confined to pairs whose BOTH members sort past the cap in every "
+    "shared bucket; all other funnel stages are identical to u35.",
+    tags=("llm-pipeline", "dedup", "split", "funnel", "scale-guard"),
+)
+def u68_capped_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _curation_funnel(spark, sf_dir, max_bucket=FUNNEL_BUCKET_CAP)
 
 
 @register(

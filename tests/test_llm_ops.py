@@ -43,6 +43,41 @@ def test_minhash_finds_planted_pair(docs_df):
     assert pairs[0].jaccard > 0.6
 
 
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    """max_bucket must bound pair output on a pathological corpus (every
+    doc identical text → ONE bucket per band) to C(cap, 2), keep the
+    lowest-id survivors, and change nothing when it doesn't bind."""
+    n, cap = 40, 5
+    clones = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    capped = minhash_lsh_pairs(
+        clones, "doc_id", "text", k=3, num_hashes=12, bands=4,
+        jaccard_threshold=0.5, max_bucket=cap,
+    ).collect()
+    # identical docs share every band bucket, so the capped candidate
+    # set is exactly the C(cap,2) pairs of the cap lowest ids
+    assert {(p.id_a, p.id_b) for p in capped} == {
+        (a, b) for a in range(cap) for b in range(a + 1, cap)
+    }
+    uncapped = minhash_lsh_pairs(
+        clones, "doc_id", "text", k=3, num_hashes=12, bands=4,
+        jaccard_threshold=0.5,
+    ).count()
+    assert uncapped == n * (n - 1) // 2
+    # non-binding cap (>= bucket occupancy) is a no-op
+    loose = minhash_lsh_pairs(
+        clones, "doc_id", "text", k=3, num_hashes=12, bands=4,
+        jaccard_threshold=0.5, max_bucket=n,
+    ).count()
+    assert loose == uncapped
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(
+            clones, "doc_id", "text", max_bucket=1
+        )
+
+
 def test_ngram_jaccard_finds_planted_pair(docs_df):
     pairs = ngram_jaccard_pairs(docs_df, "doc_id", "text", k=3).collect()
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
