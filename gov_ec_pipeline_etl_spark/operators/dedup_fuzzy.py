@@ -749,12 +749,31 @@ def simhash_pairs(
     Hamming distance < chunks must collide on ≥1 chunk); verified by
     exact Hamming distance ≤ ``max_hamming``... candidate recall for
     distances ≥ chunks is partial by design (standard chunk-LSH)."""
-    chunk_bits = SIMHASH_BITS // chunks
     fp = simhash_table(df, id_col, text_col, portable).persist()
     # persisted AND materialized: reused by both self-join sides;
     # fingerprinting is the hot stage (see the cache-barrier note in
     # minhash_lsh_pairs)
     fp.count()
+    return fingerprint_chunk_pairs(fp, max_hamming, chunks)
+
+
+def fingerprint_chunk_pairs(
+    fp: DataFrame,
+    max_hamming: int = 8,
+    chunks: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Chunk-LSH candidate join + exact Hamming verify over a generic
+    (id, fp) fingerprint table — the pairing stage shared by SimHash
+    (d03/u18, token-hash fingerprints) and image dHash (u69, pixel
+    fingerprints). Candidates share at least one of ``chunks`` equal
+    fingerprint segments (pigeonhole: any pair within Hamming distance
+    < chunks must collide on >=1 chunk); each pair is emitted from its
+    FIRST matching chunk only (rowwise bit math, no dedup shuffle) and
+    verified at exact Hamming <= ``max_hamming`` before any exchange.
+    The caller should persist+materialize ``fp`` — both self-join sides
+    read it."""
+    chunk_bits = bits // chunks
     chunked = fp.select(
         "id",
         "fp",

@@ -154,10 +154,22 @@ AUDIO_SCHEMA = StructType(
 )
 
 
-def ppm_fixture_payloads(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+MUT_STEP = 37  # every 37th payload byte of a mutated copy is perturbed
+MUT_DELTA = 3  # ... by +3 mod 256 (a small brightness nudge)
+
+
+def ppm_fixture_payloads(
+    df: DataFrame, id_col: str = "media_id", mut_offset: int | None = None
+) -> DataFrame:
     """Genuine PPM P6 payloads (header + raw RGB plane) as a pure
     function of the id: width 4+id%13, height 4+id%7, pixel byte i =
-    (id*7 + i*13) % 256."""
+    (id*7 + i*13) % 256.
+
+    ``mut_offset``: ids at or above it are NEAR-DUPLICATE copies of
+    ``id - mut_offset`` — same dimensions, every ``MUT_STEP``-th byte
+    nudged by +``MUT_DELTA`` mod 256. Pure integer arithmetic, so the
+    DuckDB oracle replays the mutated pixels exactly (the u15 fixture
+    discipline extended with planted perceptual near-dups for u69)."""
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -165,11 +177,19 @@ def ppm_fixture_payloads(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             rows = []
             for mid in pdf[id_col]:
                 m = int(mid)
-                w, h = 4 + m % 13, 4 + m % 7
+                base = (
+                    m - mut_offset
+                    if mut_offset is not None and m >= mut_offset
+                    else m
+                )
+                w, h = 4 + base % 13, 4 + base % 7
                 i = np.arange(w * h * 3, dtype=np.int64)
-                pix = ((m * 7 + i * 13) % 256).astype(np.uint8)
+                pix = (base * 7 + i * 13) % 256
+                if base != m:
+                    pix = (pix + np.where(i % MUT_STEP == 0, MUT_DELTA, 0)) % 256
                 rows.append(
-                    (m, f"P6\n{w} {h}\n255\n".encode() + pix.tobytes(),
+                    (m, f"P6\n{w} {h}\n255\n".encode()
+                     + pix.astype(np.uint8).tobytes(),
                      "image/x-portable-pixmap")
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload", "media_type"])
@@ -209,11 +229,11 @@ def wav_fixture_payloads(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
+def _ppm_pixels(payload: bytes):
     """REAL netpbm P6 parser: magic, whitespace/comment-tolerant header
     tokens (the spec allows ``#`` comments between tokens), exactly one
     whitespace byte after maxval, then the raw RGB plane via numpy.
-    Returns (width, height, mean_r_ppm, mean_g_ppm, mean_b_ppm)."""
+    Returns (width, height, flat uint8 pixel array of length w*h*3)."""
     import numpy as np
 
     if payload[:2] != b"P6":
@@ -235,7 +255,14 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
     if maxval > 255:
         raise ValueError("16-bit ppm not supported")
     plane = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-    px = plane.astype(np.int64)
+    return w, h, plane
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
+    """P6 parse + channel statistics:
+    (width, height, mean_r_ppm, mean_g_ppm, mean_b_ppm)."""
+    w, h, plane = _ppm_pixels(payload)
+    px = plane.astype("int64")
     n = w * h
     return (
         w, h,
@@ -316,3 +343,49 @@ def decode_audio(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_dec, schema=AUDIO_SCHEMA)
+
+
+DHASH_GRID_W = 11  # 11 sample columns -> 10 horizontal comparisons
+DHASH_GRID_H = 6   # 6 sample rows     -> 60 bits = SIMHASH_BITS
+
+DHASH_SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("fp", LongType())]
+)
+
+
+def dhash_images(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over real decoded PPM payloads:
+    grayscale (integer (r+g+b)//3), nearest-neighbor downsample to an
+    11x6 grid (sx = gx*w//11, sy = gy*h//6 — pure integer floor
+    arithmetic), then bit gy*10+gx = 1 iff grid[gy][gx+1] > grid[gy][gx].
+
+    60 bits — not the textbook 64 — deliberately: the repo's portable
+    hash convention keeps fingerprints within a signed BIGINT on every
+    engine AND lets the 4x15-bit chunk-LSH machinery
+    (``fingerprint_chunk_pairs``) apply unchanged. Every step is
+    integer-exact, so a SQL oracle can replay the hash from the pixel
+    arithmetic alone; brightness-shifted copies differ only where a
+    comparison's margin is within the shift, which is what makes dHash
+    the standard image near-dup fingerprint for pretraining dedup.
+
+    Input: (media_id, payload) rows; output (id, fp). Arrow-batched
+    mapInPandas, constant memory per batch, no shuffle."""
+    import numpy as np
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+    weights = 1 << np.arange((gw - 1) * gh, dtype=np.int64)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, plane = _ppm_pixels(bytes(p))
+                gray = plane.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+                sx = (np.arange(gw, dtype=np.int64) * w) // gw
+                sy = (np.arange(gh, dtype=np.int64) * h) // gh
+                grid = gray[np.ix_(sy, sx)]  # (gh, gw)
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
+                rows.append((int(mid), int((bits.reshape(-1) * weights).sum())))
+            yield pd.DataFrame(rows, columns=["id", "fp"])
+
+    return df.mapInPandas(_hash, schema=DHASH_SCHEMA)

@@ -1583,6 +1583,125 @@ def u15_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(ppm_fixture_payloads(ids))
 
 
+def _dhash_oracle(max_hamming: int = 10) -> str:
+    """Full arithmetic replay of the image-dHash near-dup path: pixel
+    values, grayscale, 11x6 integer-grid sample, 60-bit difference hash,
+    4x15-bit chunk-LSH candidates, Hamming verify — no step trusts the
+    engine. Mirrors d03's chunk replay with the fingerprint coming from
+    pixel arithmetic instead of token-hash majority votes."""
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        MUT_DELTA,
+        MUT_STEP,
+    )
+    from gov_ec_pipeline_etl_spark.plans.dedup_queries import _chunk_terms
+
+    def px(i: str) -> str:
+        # pixel byte i of (base, mut): the ppm_fixture_payloads formula
+        return (
+            f"(base*7 + ({i})*13 + CASE WHEN mut = 1 AND ({i}) % {MUT_STEP} = 0 "
+            f"THEN {MUT_DELTA} ELSE 0 END) % 256"
+        )
+
+    i0 = "(sy*w + sx)*3"
+    return f"""
+        WITH imgs AS (
+          SELECT doc_id AS media_id, doc_id AS base, 0 AS mut FROM documents
+          UNION ALL
+          SELECT doc_id + {MUT_OFFSET} AS media_id, doc_id AS base, 1 AS mut
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        dims AS (
+          SELECT media_id, base, mut, 4 + base % 13 AS w, 4 + base % 7 AS h
+          FROM imgs
+        ),
+        cells AS (
+          SELECT media_id, base, mut, w, h,
+                 CAST(u.gy AS BIGINT) AS gy, CAST(v.gx AS BIGINT) AS gx,
+                 (CAST(u.gy AS BIGINT) * h) // {DHASH_GRID_H} AS sy,
+                 (CAST(v.gx AS BIGINT) * w) // {DHASH_GRID_W} AS sx
+          FROM dims,
+               UNNEST(range(0, {DHASH_GRID_H})) AS u(gy),
+               UNNEST(range(0, {DHASH_GRID_W})) AS v(gx)
+        ),
+        grays AS (
+          SELECT media_id, gy, gx,
+                 (({px(i0)}) + ({px(i0 + " + 1")}) + ({px(i0 + " + 2")})) // 3
+                   AS gray
+          FROM cells
+        ),
+        bits AS (
+          SELECT a.media_id, a.gy, a.gx,
+                 CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+          FROM grays a JOIN grays b
+            ON b.media_id = a.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        ),
+        fps AS (
+          SELECT media_id AS doc_id,
+                 CAST(SUM(bit * (CAST(1 AS BIGINT)
+                     << CAST(gy*{DHASH_GRID_W - 1} + gx AS INTEGER))) AS BIGINT)
+                   AS fp
+          FROM bits GROUP BY media_id
+        ),
+        chunked AS (
+          SELECT doc_id, fp, unnest([{_chunk_terms(4, 15)}]) AS c
+          FROM fps
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM chunked a JOIN chunked b
+          ON a.c.idx = b.c.idx AND a.c.val = b.c.val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+@register(
+    "u69_image_dhash",
+    oracle=lambda sf_dir: _dhash_oracle(),
+    doc="Content-level IMAGE near-dup (the standard multimodal "
+    "pretraining dedup step, VERDICT r6 #5): real PPM payloads — every "
+    "document's fixture image plus a brightness-nudged copy for each "
+    "doc_id % 3 = 0 — are decoded by the actual P6 parser, perceptual-"
+    "hashed (dHash: integer grayscale, 11x6 nearest-neighbor grid, 60 "
+    "comparison bits) in one Arrow mapInPandas pass, then paired by the "
+    "SAME 4x15-bit chunk-LSH machinery SimHash uses "
+    "(fingerprint_chunk_pairs: first-match-chunk emission, no dedup "
+    "shuffle) and verified at Hamming <= 10. Banded, never all-pairs: "
+    "candidates are bounded by chunk collisions (expected "
+    "4*C(n,2)/2^15 on pseudo-random fingerprints), and low-diversity "
+    "corpora get the same group/density guard path as u18 since the "
+    "pair stage consumes a plain (id, fp) table. The oracle replays "
+    "pixels, hash, and banding arithmetically — matching proves the "
+    "real decode+hash path end to end (u15 discipline).",
+    tags=("multimodal", "dedup", "dhash", "lsh", "pandas-udf",
+          "llm-pipeline"),
+)
+def u69_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.caching import hold
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        fingerprint_chunk_pairs,
+    )
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        dhash_images,
+        ppm_fixture_payloads,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+    mut = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + MUT_OFFSET).cast("long").alias("media_id")
+    )
+    payloads = ppm_fixture_payloads(
+        ids.unionByName(mut), mut_offset=MUT_OFFSET
+    )
+    # fingerprints persist+materialize once; both chunk-join sides read
+    # the cache (the simhash_pairs discipline — hashing is the hot stage)
+    fp = dhash_images(payloads).persist()
+    fp.count()
+    return hold(fingerprint_chunk_pairs(fp, max_hamming=10), fp)
+
+
 @register(
     "u16_wav_decode",
     oracle="""

@@ -400,6 +400,47 @@ def test_vec_dim_skips_leading_null_vectors(spark):
     assert vec_dim(df.where("vec_id = 1"), "embedding") == 1
 
 
+def test_image_dhash_near_dup(spark):
+    """dHash over real PPM bytes: a brightness-nudged copy must land
+    within the Hamming verify threshold of its base image and pair up
+    through the chunk-LSH stage; hashes are deterministic across runs."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        fingerprint_chunk_pairs,
+    )
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        dhash_images,
+        ppm_fixture_payloads,
+    )
+
+    off = 1000
+    ids = spark.createDataFrame(
+        [(i,) for i in range(8)] + [(i + off,) for i in range(8)],
+        ["media_id"],
+    )
+    fp = dhash_images(ppm_fixture_payloads(ids, mut_offset=off)).persist()
+    rows = {r.id: r.fp for r in fp.collect()}
+    assert len(rows) == 16
+    # determinism: a second pass produces identical fingerprints
+    again = {
+        r.id: r.fp
+        for r in dhash_images(ppm_fixture_payloads(ids, mut_offset=off)).collect()
+    }
+    assert rows == again
+    # every planted copy is within the verify threshold of its base
+    for i in range(8):
+        d = bin(rows[i] ^ rows[i + off]).count("1")
+        assert d <= 10, (i, d)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in fingerprint_chunk_pairs(fp, max_hamming=10).collect()
+    }
+    assert all((i, i + off) in pairs for i in range(8))
+    # the emitted hamming column matches the reference xor/popcount
+    for i in range(8):
+        assert pairs[(i, i + off)] == bin(rows[i] ^ rows[i + off]).count("1")
+    fp.unpersist()
+
+
 def test_ngram_stored_index_matches_inline(spark, tmp_path, docs_df):
     """write_ngram_index → ngram_pairs_from_index must bit-match the
     inline ngram_jaccard_pairs on the same corpus (d04's amortized
