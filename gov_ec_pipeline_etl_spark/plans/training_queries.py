@@ -1658,6 +1658,7 @@ def _dhash_oracle(max_hamming: int = 10) -> str:
 
 @register(
     "u69_image_dhash",
+    bench=True,
     oracle=lambda sf_dir: _dhash_oracle(),
     doc="Content-level IMAGE near-dup (the standard multimodal "
     "pretraining dedup step, VERDICT r6 #5): real PPM payloads — every "
