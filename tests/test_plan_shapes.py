@@ -32,6 +32,23 @@ def test_cosine_hot_path_is_flat_expression(spark):
     assert plan.lower().count("lambdafunction") <= 4
 
 
+def test_lsh_bucket_kernel_stays_arrow(spark):
+    """s03/u19's hyperplane bucket keys must come from the Arrow
+    sequential-fold kernel, never the unrolled literal-SQL chain: at
+    8 planes x 64 dims that chain (~512 multiply-add terms) exceeded
+    Janino's 64 KB method limit and the whole join stage silently fell
+    back to interpreted eval (round-6 verdict What's-wrong #2). The
+    Arrow kernel prints as ArrowEvalPython; the literal kernel printed
+    hundreds of plane coefficients into the plan string."""
+    plan = _plan(spark, "s03_ann_lsh_topk")
+    assert "ArrowEvalPython" in plan
+    # the literal kernel embedded every rounded plane coefficient; a
+    # handful of decimal literals is normal, hundreds means regression
+    assert len(re.findall(r"-?0\.\d{4,}", plan)) < 50, (
+        "literal hyperplane coefficients are back in the plan"
+    )
+
+
 def test_minhash_exchange_budget(spark):
     """The single-exchange shingle pipeline holds: regressing to
     distinct()-based dedup or a band self-join adds exchanges.
