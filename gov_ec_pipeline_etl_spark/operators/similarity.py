@@ -178,7 +178,8 @@ def bucket_key_udf(planes: list[list[float]]):
 def band_keys_udf(planes_per_band: list[list[list[float]]]):
     """All band keys in ONE Arrow-batched matrix multiply.
 
-    The literal-SQL band kernel (``bucket_key`` per band) is dim ×
+    The literal-SQL band kernel (one unrolled sign-bit chain per band,
+    removed in round 7) was dim ×
     planes × bands expression terms — ~3000 at 64 dims × 12 planes × 4
     bands — and Catalyst re-analyzes that tree on every call: a ~10 s
     driver-side constant PER QUERY at sf1 (round-4 PERF audit), pure
