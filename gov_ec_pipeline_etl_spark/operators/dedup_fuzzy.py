@@ -861,8 +861,37 @@ def simhash_group_pairs(
     expected, independent of corpus row count — on a corpus of 100k
     docs with 1k distinct fingerprints this emits ≤ ~500k rows where
     the doc-level form emits ~10⁸."""
-    chunk_bits = SIMHASH_BITS // chunks
     fp = simhash_table(df, id_col, text_col, portable)
+    return fingerprint_group_pairs(fp, max_hamming, chunks)
+
+
+def fingerprint_group_pairs(
+    fp: DataFrame,
+    max_hamming: int = 8,
+    chunks: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Group-level chunk-LSH pairing over a generic (id, fp) fingerprint
+    table — the clone-family-bounded twin of ``fingerprint_chunk_pairs``,
+    shared by SimHash (u18) and image dHash (u69).
+
+    Identical fingerprints collapse into one group row FIRST (the
+    d01-style exact-dedup pre-pass), so a family of n exact clones costs
+    one diagonal row carrying ``n_pairs = C(n,2)`` instead of C(n,2)
+    emitted pairs — the round-7 u69 finding, where hamming-0 clone
+    families made the doc-level pair stage output-quadratic at sf3.
+    Chunk-LSH candidate generation, first-match-chunk emission, and
+    exact Hamming verification then run over DISTINCT fingerprints only.
+    Output schema ``(fp_a, fp_b, hamming, docs_a, docs_b, n_pairs)``:
+    diagonal rows (fp_a = fp_b, hamming 0) carry within-group pairs,
+    cross rows carry docs_a·docs_b pairs.
+
+    LOSSLESS w.r.t. the doc-level form: chunk membership is a function
+    of the fingerprint alone, so exploding each row by group membership
+    reproduces ``fingerprint_chunk_pairs`` exactly and Σ n_pairs equals
+    its row count (unit-tested). Output is bounded by
+    distinct-fingerprint candidate pairs, independent of corpus size."""
+    chunk_bits = bits // chunks
     groups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).persist()
     groups.count()  # materialization barrier: feeds diag + both join sides
     diag = groups.where(F.col("n_docs") >= 2).select(

@@ -362,7 +362,8 @@ def dhash_images(df: DataFrame) -> DataFrame:
     60 bits — not the textbook 64 — deliberately: the repo's portable
     hash convention keeps fingerprints within a signed BIGINT on every
     engine AND lets the 4x15-bit chunk-LSH machinery
-    (``fingerprint_chunk_pairs``) apply unchanged. Every step is
+    (``fingerprint_group_pairs`` / ``fingerprint_chunk_pairs``) apply
+    unchanged. Every step is
     integer-exact, so a SQL oracle can replay the hash from the pixel
     arithmetic alone; brightness-shifted copies differ only where a
     comparison's margin is within the shift, which is what makes dHash

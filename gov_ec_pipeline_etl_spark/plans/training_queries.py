@@ -1586,9 +1586,10 @@ def u15_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dhash_oracle(max_hamming: int = 10) -> str:
     """Full arithmetic replay of the image-dHash near-dup path: pixel
     values, grayscale, 11x6 integer-grid sample, 60-bit difference hash,
-    4x15-bit chunk-LSH candidates, Hamming verify — no step trusts the
-    engine. Mirrors d03's chunk replay with the fingerprint coming from
-    pixel arithmetic instead of token-hash majority votes."""
+    exact-fingerprint group collapse, 4x15-bit chunk-LSH candidates,
+    Hamming verify — no step trusts the engine. Mirrors u18's group
+    replay with the fingerprint coming from pixel arithmetic instead of
+    token-hash majority votes."""
     from gov_ec_pipeline_etl_spark.operators.multimodal import (
         DHASH_GRID_H,
         DHASH_GRID_W,
@@ -1644,14 +1645,22 @@ def _dhash_oracle(max_hamming: int = 10) -> str:
                    AS fp
           FROM bits GROUP BY media_id
         ),
+        groups AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp),
         chunked AS (
-          SELECT doc_id, fp, unnest([{_chunk_terms(4, 15)}]) AS c
-          FROM fps
+          SELECT fp, n_docs, unnest([{_chunk_terms(4, 15)}]) AS c
+          FROM groups
         )
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.fp, b.fp)) AS hamming
+        SELECT fp AS fp_a, fp AS fp_b, CAST(0 AS INT) AS hamming,
+               n_docs AS docs_a, n_docs AS docs_b,
+               n_docs * (n_docs - 1) // 2 AS n_pairs
+        FROM groups WHERE n_docs >= 2
+        UNION ALL
+        SELECT DISTINCT a.fp AS fp_a, b.fp AS fp_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming,
+               a.n_docs AS docs_a, b.n_docs AS docs_b,
+               a.n_docs * b.n_docs AS n_pairs
         FROM chunked a JOIN chunked b
-          ON a.c.idx = b.c.idx AND a.c.val = b.c.val AND a.doc_id < b.doc_id
+          ON a.c.idx = b.c.idx AND a.c.val = b.c.val AND a.fp < b.fp
         WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
     """
 
@@ -1666,22 +1675,25 @@ def _dhash_oracle(max_hamming: int = 10) -> str:
     "doc_id % 3 = 0 — are decoded by the actual P6 parser, perceptual-"
     "hashed (dHash: integer grayscale, 11x6 nearest-neighbor grid, 60 "
     "comparison bits) in one Arrow mapInPandas pass, then paired by the "
-    "SAME 4x15-bit chunk-LSH machinery SimHash uses "
-    "(fingerprint_chunk_pairs: first-match-chunk emission, no dedup "
-    "shuffle) and verified at Hamming <= 10. Banded, never all-pairs: "
-    "candidates are bounded by chunk collisions (expected "
-    "4*C(n,2)/2^15 on pseudo-random fingerprints), and low-diversity "
-    "corpora get the same group/density guard path as u18 since the "
-    "pair stage consumes a plain (id, fp) table. The oracle replays "
-    "pixels, hash, and banding arithmetically — matching proves the "
-    "real decode+hash path end to end (u15 discipline).",
+    "group-level chunk-LSH SimHash's density guard uses "
+    "(fingerprint_group_pairs: exact-fp clone families collapse to ONE "
+    "diagonal row with n_pairs = C(n,2) BEFORE banding — the VERDICT r7 "
+    "#1 fix; real image corpora are clone-heavy via thumbnails and "
+    "re-posts, and the round-7 doc-level form went output-quadratic on "
+    "sf3's planted clone families) and verified at Hamming <= 10. "
+    "Banded, never all-pairs: output is bounded by DISTINCT-fingerprint "
+    "chunk collisions, independent of corpus size, and lossless — "
+    "exploding rows by group membership reproduces every doc pair "
+    "(unit-tested). The oracle replays pixels, hash, collapse, and "
+    "banding arithmetically — matching proves the real decode+hash "
+    "path end to end (u15 discipline).",
     tags=("multimodal", "dedup", "dhash", "lsh", "pandas-udf",
           "llm-pipeline"),
 )
 def u69_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_ec_pipeline_etl_spark.caching import hold
     from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
-        fingerprint_chunk_pairs,
+        fingerprint_group_pairs,
     )
     from gov_ec_pipeline_etl_spark.operators.multimodal import (
         dhash_images,
@@ -1696,11 +1708,12 @@ def u69_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = ppm_fixture_payloads(
         ids.unionByName(mut), mut_offset=MUT_OFFSET
     )
-    # fingerprints persist+materialize once; both chunk-join sides read
-    # the cache (the simhash_pairs discipline — hashing is the hot stage)
+    # fingerprints persist+materialize once; the group collapse and both
+    # chunk-join sides read the cache (the simhash_pairs discipline —
+    # decode+hash is the hot stage)
     fp = dhash_images(payloads).persist()
     fp.count()
-    return hold(fingerprint_chunk_pairs(fp, max_hamming=10), fp)
+    return hold(fingerprint_group_pairs(fp, max_hamming=10), fp)
 
 
 @register(

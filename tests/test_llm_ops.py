@@ -441,6 +441,60 @@ def test_image_dhash_near_dup(spark):
     fp.unpersist()
 
 
+def test_image_dhash_clone_family_bounded(spark):
+    """VERDICT r7 #1: exact-clone families (the PPM fixture's ~23k-id
+    content period plants them at sf3; real image corpora are clone-heavy
+    via thumbnails/re-posts) must cost ONE diagonal row carrying
+    n_pairs = C(n,2), not C(n,2) emitted pairs. fingerprint_group_pairs
+    is the u69 production path — this pins its bound and its
+    losslessness w.r.t. the doc-level fingerprint_chunk_pairs."""
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        fingerprint_chunk_pairs,
+        fingerprint_group_pairs,
+    )
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        dhash_images,
+        ppm_fixture_payloads,
+    )
+
+    period = 13 * 7 * 256  # ppm_fixture_payloads content period in the id
+    clones = [7 + k * period for k in range(6)]  # 6 byte-identical images
+    others = [1, 2, 3]
+    ids = spark.createDataFrame([(i,) for i in clones + others], ["media_id"])
+    fp = dhash_images(ppm_fixture_payloads(ids)).persist()
+    fps = {r.id: r.fp for r in fp.collect()}
+    assert len({fps[i] for i in clones}) == 1  # genuinely identical hashes
+
+    doc_pairs = fingerprint_chunk_pairs(fp, max_hamming=10).collect()
+    with released(fingerprint_group_pairs(fp, max_hamming=10)) as g:
+        grouped = g.collect()
+
+    # the clone family is ONE row with the full multiplicity
+    diag = [r for r in grouped if r.fp_a == r.fp_b]
+    assert len(diag) == 1
+    assert diag[0].hamming == 0 and diag[0].n_pairs == 15  # C(6,2)
+    # bounded: rows scale with distinct fingerprints, not family size
+    assert len(grouped) < len(doc_pairs)
+    # lossless: multiplicity and explode-back reproduce the doc pairs
+    assert sum(r.n_pairs for r in grouped) == len(doc_pairs)
+    by_fp: dict[int, list[int]] = {}
+    for i, f in fps.items():
+        by_fp.setdefault(f, []).append(i)
+    rebuilt = set()
+    for r in grouped:
+        if r.fp_a == r.fp_b:
+            mem = by_fp[r.fp_a]
+            rebuilt |= {(a, b) for a in mem for b in mem if a < b}
+        else:
+            rebuilt |= {
+                (min(a, b), max(a, b))
+                for a in by_fp[r.fp_a] for b in by_fp[r.fp_b]
+            }
+    assert rebuilt == {(r.id_a, r.id_b) for r in doc_pairs}
+    fp.unpersist()
+
+
 def test_ngram_stored_index_matches_inline(spark, tmp_path, docs_df):
     """write_ngram_index → ngram_pairs_from_index must bit-match the
     inline ngram_jaccard_pairs on the same corpus (d04's amortized
