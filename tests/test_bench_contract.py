@@ -44,5 +44,11 @@ def test_bench_line_fits_tail_window():
 
 
 def test_bench_session_disables_console_progress():
-    src = open("bench.py").read()
+    # path resolved from this test file, not the cwd (ADVICE r7: pytest
+    # invoked outside the repo root used to FileNotFoundError here)
+    import os
+
+    bench_path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    src = open(bench_path).read()
     assert "spark.ui.showConsoleProgress" in src and '"false"' in src
+    assert 'setLogLevel("ERROR")' in src  # keeps WARN noise off the tail

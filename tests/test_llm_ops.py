@@ -441,6 +441,71 @@ def test_image_dhash_near_dup(spark):
     fp.unpersist()
 
 
+def test_audio_envelope_fp_near_dup(spark):
+    """Audio envelope fingerprint over real WAV bytes (u70): a
+    loudness-nudged copy must land within Hamming <= 2 of its base clip
+    and pair up through the group-level chunk-LSH; hashes are
+    deterministic and integer-exact vs a numpy reference."""
+    import numpy as np
+
+    from gov_ec_pipeline_etl_spark.caching import released
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        fingerprint_group_pairs,
+    )
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        AUDIO_FP_SEGMENTS,
+        WAV_MUT_DELTA,
+        WAV_MUT_STEP,
+        audio_envelope_fp,
+        wav_fixture_payloads,
+    )
+
+    off = 1000
+    ids = spark.createDataFrame(
+        [(i,) for i in range(8)] + [(i + off,) for i in range(8)],
+        ["media_id"],
+    )
+    fp = audio_envelope_fp(wav_fixture_payloads(ids, mut_offset=off)).persist()
+    rows = {r.id: r.fp for r in fp.collect()}
+    assert len(rows) == 16
+
+    # integer-exact vs an independent numpy replay of the fixture math
+    g = AUDIO_FP_SEGMENTS
+    def ref_fp(base: int, mut: bool) -> int:
+        ns = 50 + base % 101
+        i = np.arange(ns, dtype=np.int64)
+        v = (base * 31 + i * 17) % 4001
+        if mut:
+            v = v + np.where(i % WAV_MUT_STEP == 0, WAV_MUT_DELTA, 0)
+        e = np.zeros(g, dtype=np.int64)
+        np.add.at(e, (i * g) // ns, v * v)
+        bits = (e[1:] > e[:-1]).astype(np.int64)
+        return int((bits << np.arange(g - 1)).sum())
+
+    for i in range(8):
+        assert rows[i] == ref_fp(i, False), i
+        assert rows[i + off] == ref_fp(i, True), i
+        assert bin(rows[i] ^ rows[i + off]).count("1") <= 2, i
+
+    with released(fingerprint_group_pairs(fp, max_hamming=2)) as p:
+        grouped = p.collect()
+    # every planted copy pairs with its base: either as a diagonal
+    # clone-family row (hamming 0) or a cross row at hamming <= 2
+    fps_by_id = rows
+    covered = set()
+    for r in grouped:
+        ids_a = [i for i, f in fps_by_id.items() if f == r.fp_a]
+        ids_b = [i for i, f in fps_by_id.items() if f == r.fp_b]
+        if r.fp_a == r.fp_b:
+            covered |= {(a, b) for a in ids_a for b in ids_a if a < b}
+        else:
+            covered |= {
+                (min(a, b), max(a, b)) for a in ids_a for b in ids_b
+            }
+    assert all((i, i + off) in covered for i in range(8))
+    fp.unpersist()
+
+
 def test_image_dhash_clone_family_bounded(spark):
     """VERDICT r7 #1: exact-clone families (the PPM fixture's ~23k-id
     content period plants them at sf3; real image corpora are clone-heavy

@@ -22,7 +22,24 @@ import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from scale_gate import REPO, _gate  # noqa: E402
+from scale_gate import REPO, SCALE_SKIPS, SKEW_SCALE_SKIPS, _gate  # noqa: E402
+
+
+def _skips_for(sf_dir: str) -> dict[str, str]:
+    """Reuse scale_gate's sf-threshold skip selection from the directory
+    name (ADVICE r7: an empty skip dict at sf>=0.5 hangs the gate on the
+    known pathological oracle replays). sf-less paths are treated as
+    small-scale (no skips), matching the tool's intended sf0.01 use."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    if sf < 0.5:
+        return {}
+    skips = dict(SCALE_SKIPS)
+    if "skew" in sf_dir:
+        skips.update(SKEW_SCALE_SKIPS)
+    return skips
 
 
 def main() -> int:
@@ -35,8 +52,13 @@ def main() -> int:
         ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
         capture_output=True, text=True, check=False,
     ).stdout.strip() or None
-    print(f"[full_gate] oracle gate over {args.sf_dir} at {commit}", flush=True)
-    gate = _gate(args.sf_dir, {})
+    skips = _skips_for(args.sf_dir)
+    print(
+        f"[full_gate] oracle gate over {args.sf_dir} at {commit} "
+        f"({len(skips)} skips)",
+        flush=True,
+    )
+    gate = _gate(args.sf_dir, skips)
     art = {"sf_dir": args.sf_dir, "commit": commit, "gate": gate}
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(art, f, indent=1, sort_keys=True)
