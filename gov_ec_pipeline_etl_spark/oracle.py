@@ -141,9 +141,55 @@ def _fast_compare(
     return True, "fast compare"
 
 
+def _ensure_shared_fragment(
+    name: str,
+    con: duckdb.DuckDBPyConnection,
+    created: set[str],
+    frags: list[tuple[str, str]],
+) -> None:
+    """Materialize fragment ``name`` as temp table _shared_<name> on
+    ``con`` (idempotent per ``created``). The fragment's own defining
+    SQL is first rewritten against OTHER fragments, so e.g. the d02
+    pair replay builds from the already-materialized sketch table."""
+    if name in created:
+        return
+    sql = dict(frags)[name]
+    for n2, f2 in frags:  # longest-first, skip self
+        if n2 != name and f2 in sql:
+            _ensure_shared_fragment(n2, con, created, frags)
+            sql = sql.replace(f2, f"SELECT * FROM _shared_{n2}")
+    con.execute(f"CREATE TEMP TABLE _shared_{name} AS {sql}")
+    created.add(name)
+
+
+def rewrite_shared_oracle(
+    sql: str | None,
+    con: duckdb.DuckDBPyConnection,
+    created: set[str],
+) -> str | None:
+    """Substitute registered shared fragments (see
+    ``plans.registry.register_shared_fragment``) appearing VERBATIM in
+    ``sql`` with reads of per-connection temp tables, materializing each
+    on first use. Pure text substitution of an identical sub-select —
+    the rewritten oracle is semantically the original (unit-tested per
+    fragment) — but a gate run replays each heavy chain once instead of
+    once per dependent oracle (~5.6 ks of the round-7 skewed sf1 gate).
+    Only the LOCAL gate rewrites; the driver runs the standalone text."""
+    if sql is None:
+        return None
+    from gov_ec_pipeline_etl_spark.plans.registry import shared_fragments
+
+    frags = sorted(shared_fragments().items(), key=lambda kv: -len(kv[1]))
+    for name, frag in frags:
+        if frag in sql:
+            _ensure_shared_fragment(name, con, created, frags)
+            sql = sql.replace(frag, f"SELECT * FROM _shared_{name}")
+    return sql
+
+
 def compare(
     spark_df, oracle_sql: str, sf_dir: str, con: duckdb.DuckDBPyConnection | None = None,
-    t_plan: float = 0.0,
+    t_plan: float = 0.0, t_orc_extra: float = 0.0,
 ) -> tuple[bool, str]:
     """Return (match, message). Message describes the first divergence.
 
@@ -167,7 +213,7 @@ def compare(
         t_eng = _time.time() - t0 + t_plan
         t0 = _time.time()
         duck_pdf = con.execute(oracle_sql).fetchdf()
-        t_orc = _time.time() - t0
+        t_orc = _time.time() - t0 + t_orc_extra
     finally:
         if own_con:
             con.close()
@@ -220,6 +266,7 @@ def run_all(
 
     spark = spark or get_spark("oracle-parity")
     con = duckdb_connection(sf_dir)
+    shared_created: set[str] = set()
     out: dict[str, str] = {}
     try:
         for name, q in sorted(all_queries().items()):
@@ -242,9 +289,15 @@ def run_all(
 
                     df = q.spark(spark, sf_dir)
                     t_plan = _time.time() - t0
+                    t0s = _time.time()
+                    osql = rewrite_shared_oracle(
+                        oracle_text(q, sf_dir), con, shared_created
+                    )
+                    t_shared = _time.time() - t0s
                     try:
                         ok, msg = compare(
-                            df, oracle_text(q, sf_dir), sf_dir, con, t_plan=t_plan
+                            df, osql, sf_dir, con,
+                            t_plan=t_plan, t_orc_extra=t_shared,
                         )
                     finally:
                         unpersist_inputs(df)

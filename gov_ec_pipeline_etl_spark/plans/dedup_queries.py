@@ -22,7 +22,10 @@ from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
     simhash_pairs,
 )
 from gov_ec_pipeline_etl_spark.operators.textstats import content_fingerprint
-from gov_ec_pipeline_etl_spark.plans.registry import register
+from gov_ec_pipeline_etl_spark.plans.registry import (
+    register,
+    register_shared_fragment,
+)
 from gov_ec_pipeline_etl_spark.plans.util import T
 
 MUT_OFFSET = 1_000_000
@@ -104,18 +107,18 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(
-    k: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
-    max_bucket: int | None = None,
-) -> str:
+def _minhash_sig_select(k: int = 3, num_hashes: int = 12) -> str:
+    """Standalone (doc_id, shingles, sig) SELECT over the dirty corpus —
+    the shared MinHash sketch prefix of the d02/u20 oracle family,
+    factored out byte-identically so the local gate can memoize ONE
+    materialization per connection (see oracle._ensure_shared_fragment;
+    the r7 skewed sf1 gate spent ~5.6 ks replaying this chain and its
+    pair join once per dependent oracle)."""
     from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
         MINHASH_PRIME,
         minhash_coeffs,
     )
 
-    rows = num_hashes // bands
     base = (
         f"list_transform(shingles, s -> {portable_hash64_sql('s', 0)} % 4294967296)"
     )
@@ -123,10 +126,28 @@ def _minhash_oracle(
         f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
         for a, b in minhash_coeffs(num_hashes)
     )
-    band_terms = ",\n".join(
+    return f"""WITH corpus AS ({DIRTY_SQL}),
+        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+        sh AS (SELECT doc_id, {shingles_sql(k)} AS shingles FROM toksed),
+        based AS (SELECT doc_id, shingles, {base} AS base FROM sh)
+        SELECT doc_id, shingles, [{sig_terms}] AS sig FROM based"""
+
+
+def _minhash_band_terms(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    return ",\n".join(
         f"{{'idx': {b}, 'key': md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], ','))}}"
         for b in range(bands)
     )
+
+
+def _minhash_oracle(
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> str:
+    band_terms = _minhash_band_terms(num_hashes, bands)
 
     def _bucket_cap_sql(cap: int | None) -> str:
         """Replay of the engine's max_bucket candidate budget: keep each
@@ -145,11 +166,7 @@ def _minhash_oracle(
         """
 
     return f"""
-        WITH corpus AS ({DIRTY_SQL}),
-        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
-        sh AS (SELECT doc_id, {shingles_sql(k)} AS shingles FROM toksed),
-        based AS (SELECT doc_id, shingles, {base} AS base FROM sh),
-        sig AS (SELECT doc_id, shingles, [{sig_terms}] AS sig FROM based),
+        WITH sig AS ({_minhash_sig_select(k, num_hashes)}),
         banded0 AS (
           SELECT doc_id, shingles, unnest([{band_terms}]) AS band FROM sig
         ),
@@ -169,6 +186,15 @@ def _minhash_oracle(
         WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
     """
+
+
+# Gate-memoizable fragments (see registry.register_shared_fragment):
+# the default-parameter sketch SELECT and the full d02 pair replay,
+# which u20 (sketch) and u29/u35 (pairs) embed verbatim. Longest
+# fragment substitutes first, and the pairs fragment's own
+# materialization reuses the sketch table.
+register_shared_fragment("minhash_sig12", _minhash_sig_select())
+register_shared_fragment("minhash_pairs", _minhash_oracle())
 
 
 @register(
@@ -340,24 +366,10 @@ def _minhash_err_oracle(
 ) -> str:
     """d02's sketch replay extended with the per-pair estimator error:
     DuckDB recomputes the signature, counts matching components, and
-    compares the estimate against the exact shingle Jaccard."""
-    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
-        MINHASH_PRIME,
-        minhash_coeffs,
-    )
-
-    rows = num_hashes // bands
-    base = (
-        f"list_transform(shingles, s -> {portable_hash64_sql('s', 0)} % 4294967296)"
-    )
-    sig_terms = ",\n".join(
-        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
-        for a, b in minhash_coeffs(num_hashes)
-    )
-    band_terms = ",\n".join(
-        f"{{'idx': {b}, 'key': md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], ','))}}"
-        for b in range(bands)
-    )
+    compares the estimate against the exact shingle Jaccard. Shares
+    ``_minhash_sig_select`` byte-identically with d02's oracle so the
+    gate memoizes the sketch once."""
+    band_terms = _minhash_band_terms(num_hashes, bands)
     jac = (
         "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)"
         " / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"
@@ -367,11 +379,7 @@ def _minhash_err_oracle(
         " i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS INTEGER)"
     )
     return f"""
-        WITH corpus AS ({DIRTY_SQL}),
-        toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
-        sh AS (SELECT doc_id, {shingles_sql(k)} AS shingles FROM toksed),
-        based AS (SELECT doc_id, shingles, {base} AS base FROM sh),
-        sig AS (SELECT doc_id, shingles, [{sig_terms}] AS sig FROM based),
+        WITH sig AS ({_minhash_sig_select(k, num_hashes)}),
         banded AS (
           SELECT doc_id, shingles, sig, unnest([{band_terms}]) AS band FROM sig
         ),
@@ -483,38 +491,31 @@ def d05_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d06_dup_clusters",
     oracle=f"""
-        WITH RECURSIVE corpus AS ({DIRTY_SQL}),
+        WITH corpus AS ({DIRTY_SQL}),
         toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
         sh AS (SELECT doc_id, {shingles_sql(5)} AS shingles FROM toksed),
         mh AS (
           SELECT doc_id,
                  list_min(list_transform(shingles, s -> md5(s))) AS min_sh
           FROM sh
-        ),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM mh a JOIN mh b ON a.min_sh = b.min_sh AND a.doc_id < b.doc_id
-        ),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION
-          SELECT id_b, id_a FROM pairs
-        ),
-        nodes AS (SELECT DISTINCT src AS id FROM edges),
-        reach(src, dst) AS (
-          SELECT id, id FROM nodes
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
         )
-        SELECT src AS doc_id, MIN(dst) AS cluster_id
-        FROM reach GROUP BY src
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY min_sh) AS cluster_id
+        FROM mh
+        QUALIFY COUNT(*) OVER (PARTITION BY min_sh) > 1
     """,
     doc="Duplicate-CLUSTER formation: docs sharing their minimum 5-word "
     "shingle hash become edges; iterative min-label propagation "
     "(localCheckpoint per round — the lineage-truncation pattern "
-    "iterative algorithms need on Spark) finds components. Oracle "
-    "recomputes components via a recursive transitive-closure CTE, so "
-    "the fixpoint itself is cross-engine verified.",
+    "iterative algorithms need on Spark) finds components. The oracle "
+    "derives the same fixpoint NON-iteratively: min-shingle equality is "
+    "an equivalence relation (each doc has exactly one min_sh, so edges "
+    "only connect equal-min_sh docs and components ARE the min_sh "
+    "classes), hence cluster_id = MIN(doc_id) over the min_sh partition "
+    "— an independent closed-form derivation that checks the engine's "
+    "iterative fixpoint without the recursive closure's O(sum "
+    "component_size^2) row blowup (703 s of the round-7 skewed sf1 "
+    "gate; the generic multi-hop propagation stays pinned by "
+    "test_connected_components_known_graph).",
     tags=("dedup", "graph", "iterative", "llm-pipeline"),
 )
 def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

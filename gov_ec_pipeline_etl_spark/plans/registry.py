@@ -127,3 +127,36 @@ def all_queries() -> dict[str, Query]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     return dict(_REGISTRY)
+
+
+# --- shared oracle fragments ----------------------------------------------
+#
+# Several heavy oracles embed byte-identical SQL sub-selects (the d02
+# MinHash sketch/pair replay appears verbatim inside u20/u29/u35): each
+# standalone oracle stays fully self-contained for the external driver,
+# but the LOCAL gate (oracle.run_all) memoizes any registered fragment
+# into a per-connection temp table and substitutes `SELECT * FROM
+# _shared_<name>` — pure text substitution of an identical sub-select,
+# so the rewritten oracle is semantically the original (equality is
+# unit-tested per fragment). The round-7 skewed sf1 gate spent ~5.6 ks
+# re-replaying these chains once per dependent oracle.
+
+_SHARED_FRAGMENTS: dict[str, str] = {}
+
+
+def register_shared_fragment(name: str, sql: str) -> None:
+    """Declare a standalone SELECT that may appear verbatim inside
+    registered oracle texts. ``name`` becomes temp table _shared_<name>
+    on the gate connection; fragments may nest (a longer fragment's
+    definition may itself contain a shorter registered fragment)."""
+    if not name.isidentifier():
+        raise ValueError(f"fragment name must be an identifier: {name!r}")
+    _SHARED_FRAGMENTS[name] = sql
+
+
+def shared_fragments() -> dict[str, str]:
+    """All registered fragments (query modules imported first, since
+    fragments are declared alongside the oracles that use them)."""
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return dict(_SHARED_FRAGMENTS)

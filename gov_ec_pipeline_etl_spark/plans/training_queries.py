@@ -92,7 +92,7 @@ def u01_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u02_cluster_representatives",
     oracle=f"""
-        WITH RECURSIVE corpus AS ({DIRTY_SQL}),
+        WITH corpus AS ({DIRTY_SQL}),
         toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
         sh AS (SELECT doc_id, {shingles_sql(5)} AS shingles FROM toksed),
         mh AS (
@@ -100,23 +100,13 @@ def u01_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_min(list_transform(shingles, s -> md5(s))) AS min_sh
           FROM sh
         ),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM mh a JOIN mh b ON a.min_sh = b.min_sh AND a.doc_id < b.doc_id
-        ),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION
-          SELECT id_b, id_a FROM pairs
-        ),
-        nodes AS (SELECT DISTINCT src AS id FROM edges),
-        reach(src, dst) AS (
-          SELECT id, id FROM nodes
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        ),
+        -- min-shingle equality is an equivalence relation, so components
+        -- are the min_sh classes directly (see d06's oracle note) — no
+        -- recursive closure needed
         clusters AS (
-          SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY min_sh) AS cluster_id
+          FROM mh
+          QUALIFY COUNT(*) OVER (PARTITION BY min_sh) > 1
         ),
         sized AS (
           SELECT c.doc_id, c.cluster_id, length(t.text) AS n
@@ -1104,7 +1094,7 @@ def u12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u13_dedup_funnel",
     oracle=f"""
-        WITH RECURSIVE corpus AS (
+        WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + {MUT_OFFSET}, text FROM documents        -- exact copies
@@ -1132,22 +1122,13 @@ def u12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_min(list_transform({shingles_sql(5)}, s -> md5(s))) AS min_sh
           FROM toksed
         ),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM mh a JOIN mh b ON a.min_sh = b.min_sh AND a.doc_id < b.doc_id
-        ),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION SELECT id_b, id_a FROM pairs
-        ),
-        nodes AS (SELECT DISTINCT src AS id FROM edges),
-        reach(src, dst) AS (
-          SELECT id, id FROM nodes
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        ),
+        -- min-shingle equality is an equivalence relation, so components
+        -- are the min_sh classes directly (see d06's oracle note) — no
+        -- recursive closure needed
         clusters AS (
-          SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY min_sh) AS cluster_id
+          FROM mh
+          QUALIFY COUNT(*) OVER (PARTITION BY min_sh) > 1
         ),
         sized AS (
           SELECT k.doc_id, c.cluster_id, length(k.text) AS n

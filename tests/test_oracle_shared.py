@@ -1,0 +1,86 @@
+"""Shared-oracle-fragment memoization (the skew-gate cost fix, VERDICT
+r7 #2): the local gate substitutes registered fragments appearing
+verbatim inside oracle texts with per-connection temp tables. The
+substitution must be result-identical to the standalone text for EVERY
+affected oracle — this runs both forms on the same DuckDB connection
+family at sf0.001 and diffs them, no Spark involved.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return (
+        pdf[cols]
+        .sort_values(cols, kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_fragments_registered():
+    from gov_ec_pipeline_etl_spark.plans.registry import shared_fragments
+
+    frags = shared_fragments()
+    assert {"minhash_sig12", "minhash_pairs"} <= set(frags)
+    # nesting: the pair replay embeds the sketch select verbatim
+    assert frags["minhash_sig12"] in frags["minhash_pairs"]
+
+
+def test_rewrite_is_result_identical_for_every_affected_oracle():
+    from gov_ec_pipeline_etl_spark.oracle import (
+        duckdb_connection,
+        rewrite_shared_oracle,
+    )
+    from gov_ec_pipeline_etl_spark.plans import all_queries
+    from gov_ec_pipeline_etl_spark.plans.registry import (
+        oracle_text,
+        shared_fragments,
+    )
+
+    frags = shared_fragments()
+    affected = []
+    for name, q in sorted(all_queries().items()):
+        sql = oracle_text(q, SF_DIR)
+        if sql and any(f in sql for f in frags.values()):
+            affected.append((name, sql))
+    # the fragment machinery must actually cover the expensive family
+    names = {n for n, _ in affected}
+    assert {
+        "d02_minhash_lsh", "u20_minhash_estimate_error",
+        "u29_split_leakage_check", "u35_curation_funnel",
+    } <= names, names
+
+    con = duckdb_connection(SF_DIR)
+    created: set[str] = set()
+    try:
+        for name, sql in affected:
+            rewritten = rewrite_shared_oracle(sql, con, created)
+            assert rewritten != sql, f"{name}: no substitution happened"
+            raw = _canon(con.execute(sql).fetchdf())
+            new = _canon(con.execute(rewritten).fetchdf())
+            pd.testing.assert_frame_equal(raw, new, check_dtype=False)
+    finally:
+        con.close()
+    assert created == set(frags), created  # every fragment materialized
+
+
+def test_rewrite_noop_without_fragment():
+    from gov_ec_pipeline_etl_spark.oracle import (
+        duckdb_connection,
+        rewrite_shared_oracle,
+    )
+
+    con = duckdb_connection(SF_DIR)
+    try:
+        created: set[str] = set()
+        sql = "SELECT COUNT(*) AS n FROM documents"
+        assert rewrite_shared_oracle(sql, con, created) == sql
+        assert rewrite_shared_oracle(None, con, created) is None
+        assert not created
+    finally:
+        con.close()
