@@ -237,14 +237,22 @@ def compare(
                 )
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row count mismatch: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
-    split = f"eng {t_eng:.1f}s orc {t_orc:.1f}s"
+    # the canonicalize+diff leg is timed separately (cmp): on large
+    # results it dominates neither engine nor oracle but the HARNESS —
+    # u18's sf1 gate entry carried ~677 s of untimed pandas sort/diff
+    # in round 8, which read as mystery wall until attributed
+    t0 = _time.time()
     if len(spark_pdf) > _FAST_COMPARE_ROWS:
         ok, msg = _fast_compare(spark_pdf, duck_pdf, s_cols)
+        split = (
+            f"eng {t_eng:.1f}s orc {t_orc:.1f}s cmp {_time.time() - t0:.1f}s"
+        )
         return ok, f"ok ({len(spark_pdf)} rows, {msg}, {split})" if ok else msg
     s_rows, d_rows = canonical_rows(spark_pdf), canonical_rows(duck_pdf)
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
         if a != b:
             return False, f"row {i} differs (cols {s_cols}):\n  spark : {a}\n  duckdb: {b}"
+    split = f"eng {t_eng:.1f}s orc {t_orc:.1f}s cmp {_time.time() - t0:.1f}s"
     return True, f"ok ({len(s_rows)} rows, {split})"
 
 

@@ -104,10 +104,16 @@ def _gate(sf_dir: str, skips: dict[str, str]) -> dict:
         # engine-vs-oracle wall split (oracle.py appends it to matched
         # rows) — carried into the artifact so slow gate entries
         # attribute without a rerun (the r5/r6 x58 chases)
-        split = re.search(r"eng ([0-9.]+)s orc ([0-9.]+)s", detail)
+        split = re.search(
+            r"eng ([0-9.]+)s orc ([0-9.]+)s(?: cmp ([0-9.]+)s)?", detail
+        )
         if split:
             results[name]["eng_sec"] = float(split.group(1))
             results[name]["orc_sec"] = float(split.group(2))
+            if split.group(3) is not None:
+                # harness-side canonicalize+diff wall (large results) —
+                # attributes gate entries that are neither eng nor orc
+                results[name]["cmp_sec"] = float(split.group(3))
         if status in ("MISMATCH", "ERROR"):
             failures.append(f"{name}: {status}{detail}")
     return {
@@ -120,7 +126,11 @@ def _gate(sf_dir: str, skips: dict[str, str]) -> dict:
         "wall_sec": round(time.time() - t0, 1),
         "per_query_sec": {n: r["sec"] for n, r in sorted(results.items())},
         "per_query_split": {
-            n: {"eng": r["eng_sec"], "orc": r["orc_sec"]}
+            n: {
+                "eng": r["eng_sec"],
+                "orc": r["orc_sec"],
+                **({"cmp": r["cmp_sec"]} if "cmp_sec" in r else {}),
+            }
             for n, r in sorted(results.items())
             if "eng_sec" in r
         },
