@@ -34,7 +34,9 @@ from gov_ec_pipeline_etl_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # float-shaped pattern on the basename (ADVICE r8: `sf([0-9.]+)`
+    # let 'sf0.1.bak' capture '0.1.' and crash float())
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(os.path.normpath(sf_dir)))
     sf = float(m.group(1)) if m else None
 
     # showConsoleProgress writes \r-escaped progress bars into the
@@ -95,8 +97,14 @@ def main() -> None:
     # sf0.1 run writes the committed BENCH_DETAIL.json — smoke/trajectory
     # runs at other sfs get an sf-stamped filename so they can't clobber
     # the round's committed record (ADVICE r7).
+    # sf-less custom dirs get an explicit name rather than the
+    # accidental 'BENCH_DETAIL_sfNone.json' (ADVICE r8)
     detail_name = (
-        "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+        "BENCH_DETAIL.json"
+        if sf == 0.1
+        else f"BENCH_DETAIL_sf{sf}.json"
+        if sf is not None
+        else "BENCH_DETAIL_custom.json"
     )
     detail_path = os.path.join(REPO_ROOT, detail_name)
     with open(detail_path, "w") as f:

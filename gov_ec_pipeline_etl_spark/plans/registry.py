@@ -148,7 +148,15 @@ def register_shared_fragment(name: str, sql: str) -> None:
     """Declare a standalone SELECT that may appear verbatim inside
     registered oracle texts. ``name`` becomes temp table _shared_<name>
     on the gate connection; fragments may nest (a longer fragment's
-    definition may itself contain a shorter registered fragment)."""
+    definition may itself contain a shorter registered fragment).
+
+    CONTRACT (ADVICE r8): every occurrence of the fragment text inside
+    an oracle must be a parenthesized standalone subquery — ``AS (
+    <fragment> )`` or ``FROM ( <fragment> )`` — never part of a string
+    literal, comment, or differently-aliased expression, because the
+    gate rewrite is blind ``str.replace``. tests/test_oracle_shared.py
+    asserts the parenthesization for every registered oracle so a new
+    oracle cannot violate this silently."""
     if not name.isidentifier():
         raise ValueError(f"fragment name must be an identifier: {name!r}")
     _SHARED_FRAGMENTS[name] = sql

@@ -8,9 +8,17 @@ family at sf0.001 and diffs them, no Spark involved.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
+import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# skip (not error) on a checkout without generated fixtures (ADVICE r8)
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"fixture dir {SF_DIR} absent"
+)
 
 
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -67,6 +75,48 @@ def test_rewrite_is_result_identical_for_every_affected_oracle():
     finally:
         con.close()
     assert created == set(frags), created  # every fragment materialized
+
+
+def test_every_fragment_occurrence_is_parenthesized():
+    """The gate rewrite is blind str.replace, so the registration
+    contract (see register_shared_fragment) requires every occurrence
+    of a fragment inside any oracle to sit alone inside parentheses —
+    `AS ( <fragment> )` / `FROM ( <fragment> )`. This walks every
+    registered oracle so a future oracle embedding a fragment in a
+    string literal, comment, or expression position fails loudly here
+    instead of being silently rewritten into wrong SQL (ADVICE r8)."""
+    from gov_ec_pipeline_etl_spark.plans import all_queries
+    from gov_ec_pipeline_etl_spark.plans.registry import (
+        oracle_text,
+        shared_fragments,
+    )
+
+    frags = shared_fragments()
+    texts = {"fragment " + n: f for n, f in frags.items()}
+    for name, q in sorted(all_queries().items()):
+        sql = oracle_text(q, SF_DIR)
+        if sql:
+            texts["oracle " + name] = sql
+    checked = 0
+    for where, sql in texts.items():
+        for fname, frag in frags.items():
+            if where == "fragment " + fname:
+                continue  # a fragment's own definition is the SELECT itself
+            start = 0
+            while (i := sql.find(frag, start)) != -1:
+                start = i + len(frag)
+                before = sql[:i].rstrip()
+                after = sql[i + len(frag):].lstrip()
+                if not before and not after:
+                    checked += 1  # oracle IS the fragment (d02) — whole-text swap
+                    continue
+                assert before.endswith("(") and after.startswith(")"), (
+                    f"{where}: fragment {fname} occurs outside a "
+                    f"parenthesized standalone subquery (…{before[-30:]!r} "
+                    f"/ {after[:30]!r}…) — see register_shared_fragment"
+                )
+                checked += 1
+    assert checked >= 4, checked  # sig-in-pairs + u20/u29/u35 at minimum
 
 
 def test_rewrite_noop_without_fragment():

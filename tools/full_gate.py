@@ -29,10 +29,15 @@ def _skips_for(sf_dir: str) -> dict[str, str]:
     """Reuse scale_gate's sf-threshold skip selection from the directory
     name (ADVICE r7: an empty skip dict at sf>=0.5 hangs the gate on the
     known pathological oracle replays). sf-less paths are treated as
-    small-scale (no skips), matching the tool's intended sf0.01 use."""
+    small-scale (no skips), matching the tool's intended sf0.01 use.
+
+    The scale token is read from the path BASENAME with a float-shaped
+    pattern (ADVICE r8: `sf([0-9.]+)` on the full path matched the
+    first 'sf…' anywhere and let 'sf0.1.bak' capture '0.1.', crashing
+    float() before the gate started)."""
     import re
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(os.path.normpath(sf_dir)))
     sf = float(m.group(1)) if m else 0.0
     if sf < 0.5:
         return {}
