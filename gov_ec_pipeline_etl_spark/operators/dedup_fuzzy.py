@@ -555,6 +555,7 @@ def minhash_estimate_vs_exact(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     portable: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Sketch-quality measurement: for every verified near-dup pair,
     the MinHash-ESTIMATED Jaccard (matching signature components /
@@ -565,9 +566,19 @@ def minhash_estimate_vs_exact(
     uses (one shingle scan; signature and verify both reuse it —
     no second pass over the text).
 
+    ``max_bucket`` is the same candidate-budget knob as
+    ``minhash_lsh_pairs``: each (band, key) bucket keeps only its
+    ``max_bucket`` lowest ids (rank ≤ K pre-truncation — Spark rewrites
+    it to WindowGroupLimit, so a hot bucket is cut BEFORE the
+    collect_list materializes it), bounding per-bucket pair fan-out at
+    C(max_bucket, 2) BY CONTRACT — the election for skewed corpora
+    where a hot bucket makes the audit itself output-quadratic.
+
     Output: id_a, id_b, est_matches (0..num_hashes), est_jaccard,
     jaccard (exact, rounded 6), abs_err (rounded 6).
     """
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (a bucket needs a pair)")
     sh = minhash_sketch(df, id_col, text_col, k, portable)
     # ONE signature aggregation: band keys and the estimator columns
     # both derive from this persisted frame (the naive spelling pays
@@ -575,6 +586,13 @@ def minhash_estimate_vs_exact(
     sig = minhash_signature(sh, num_hashes).persist()
     sig.count()
     banded = band_keys_from_signature(sig, num_hashes, bands)
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_key").orderBy("id")
+        banded = (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_bucket)
+            .drop("__rn")
+        )
     buckets = (
         banded.groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))

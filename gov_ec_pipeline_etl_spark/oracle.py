@@ -88,24 +88,79 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
 _FAST_COMPARE_ROWS = 200_000
 
 
+def _mix64(x):
+    """Vectorized splitmix64 finalizer (public-domain constant set) —
+    uint64 wrap-around is the intended arithmetic."""
+    import numpy as np
+
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _row_hashes(columns: dict[str, pd.Series]):
+    """One uint64 per row over parallel same-length Series (insertion
+    order defines the row layout — build the dict in ``cols`` order on
+    both sides). Numeric/datetime columns hash their raw bit patterns
+    through splitmix64 (float NaN is canonicalized so any payload
+    hashes alike; -0.0 was collapsed by the caller); everything else
+    goes through ``pd.util.hash_array`` (siphash — None==NaN==NaT and
+    date==ISO-string, the slow path's ``_canon_value`` equivalences).
+    Column hashes chain through a mix per column, so swapping values
+    BETWEEN columns changes the row hash. Takes a dict, not a
+    DataFrame: frame construction consolidates blocks (~6 s per side
+    at 10 M rows — most of what this path is meant to save)."""
+    import numpy as np
+
+    n = len(next(iter(columns.values()))) if columns else 0
+    h = np.full(n, 0x243F6A8885A308D3, dtype=np.uint64)
+    for i, (c, s) in enumerate(columns.items()):
+        kind = s.dtype.kind
+        try:
+            if kind in "iub":
+                bits = s.to_numpy().astype(np.int64, copy=False).view(np.uint64)
+            elif kind == "f":
+                av = s.to_numpy().astype(np.float64, copy=False)
+                av = np.where(np.isnan(av), np.nan, av)  # one NaN payload
+                bits = av.view(np.uint64)
+            elif kind in "Mm":
+                bits = s.to_numpy().view(np.int64).view(np.uint64)
+            else:
+                bits = pd.util.hash_array(s.to_numpy(), categorize=True)
+        except (TypeError, ValueError):
+            # extension/masked dtypes: pandas' own row hasher
+            bits = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        h = _mix64((h ^ bits) * np.uint64(0x100000001B3) + np.uint64(i + 1))
+    return h
+
+
 def _fast_compare(
     spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, cols: list[str]
 ) -> tuple[bool, str]:
-    """Vectorized equality for LARGE results (sf1-scale gate runs).
+    """Vectorized multiset equality for LARGE results (sf1-scale gates).
 
     The row-tuple canonicalizer below builds n·m Python objects and
     sorts with repr() keys — minutes of single-core time per side on a
-    multi-million-row dedup pair set. This path sorts with pandas
-    (mergesort, same key both sides) and compares column-wise via
-    pandas ``.equals`` after dtype normalization: exact equality, NaN
-    == NaN, no Python-object blowup. Detail on mismatch is coarser
-    (column name, not row) — acceptable for results this size."""
+    multi-million-row dedup pair set. Round 8's mergesort variant of
+    this path was still the u18 sf1 gate's single largest leg (~676 s
+    of pandas multi-column sort over 89 M group-pair rows). Order does
+    not matter for set-semantics results, so equality here is multiset
+    equality of vectorized row hashes: after dtype normalization, hash
+    every row with ``pd.util.hash_pandas_object`` (uint64 siphash;
+    None==NaN==NaT, date==ISO-string — the same equivalences
+    ``_canon_value`` applies on the slow path) and compare the SORTED
+    hash arrays. np.sort on uint64 is seconds where the frame sort was
+    minutes. A genuine single-row difference is masked only if the two
+    differing rows collide at 64 bits (~2^-64 per differing row). On
+    mismatch, the old sorted column-wise diff runs once to name the
+    differing column — the sort cost is paid only on failure."""
     import numpy as np
 
-    s = spark_pdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
-    d = duck_pdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    s_cols: dict[str, pd.Series] = {}
+    d_cols: dict[str, pd.Series] = {}
     for c in cols:
-        a, b = s[c], d[c]
+        a = spark_pdf[c].reset_index(drop=True)
+        b = duck_pdf[c].reset_index(drop=True)
         try:
             if a.dtype != b.dtype:
                 # Coerce toward the WIDER type. Casting the DuckDB column to
@@ -127,18 +182,37 @@ def _fast_compare(
         except (TypeError, ValueError):
             return False, f"column {c}: incomparable dtypes {a.dtype} vs {b.dtype}"
         if a.dtype.kind == "f":
-            av, bv = a.to_numpy(), b.to_numpy()
-            if not np.array_equal(
-                np.where(av == 0.0, 0.0, av),  # collapse -0.0, like _canon_value
-                np.where(bv == 0.0, 0.0, bv),
-                equal_nan=True,
-            ):
-                return False, f"column {c} differs (large-result fast compare)"
-        elif not a.equals(b):
-            return False, f"column {c} differs (large-result fast compare)"
-    # success message is assembled by compare() (single format owner —
-    # splicing timing into a string built here proved fragile)
-    return True, "fast compare"
+            # collapse -0.0 → 0.0 like _canon_value (hash_pandas_object
+            # distinguishes the sign bit; NaN already hashes uniformly)
+            a = pd.Series(np.where(a.to_numpy() == 0.0, 0.0, a.to_numpy()))
+            b = pd.Series(np.where(b.to_numpy() == 0.0, 0.0, b.to_numpy()))
+        s_cols[c], d_cols[c] = a, b
+    hs = _row_hashes(s_cols)
+    hd = _row_hashes(d_cols)
+    hs.sort()
+    hd.sort()
+    if np.array_equal(hs, hd):
+        # success message is assembled by compare() (single format owner —
+        # splicing timing into a string built here proved fragile)
+        return True, "fast compare"
+    # name the differing column(s) via per-column hash multisets —
+    # O(cols) uint64 sorts, no frame sort even on failure
+    bad_cols = []
+    for c in cols:
+        ch_s = _row_hashes({c: s_cols[c]})
+        ch_d = _row_hashes({c: d_cols[c]})
+        ch_s.sort()
+        ch_d.sort()
+        if not np.array_equal(ch_s, ch_d):
+            bad_cols.append(c)
+    if bad_cols:
+        return False, (
+            f"column {', '.join(bad_cols)} differs (large-result fast compare)"
+        )
+    return False, (
+        "every single-column multiset matches but row-level hashes differ "
+        "— cross-column row pairing mismatch (large-result fast compare)"
+    )
 
 
 def _ensure_shared_fragment(

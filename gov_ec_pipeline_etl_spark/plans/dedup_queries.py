@@ -361,14 +361,13 @@ def _ngram_oracle(k: int = 3, max_df: int = 50) -> str:
     """
 
 
-def _minhash_err_oracle(
+def _minhash_err_oracle_replay(
     k: int = 3, num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
 ) -> str:
-    """d02's sketch replay extended with the per-pair estimator error:
-    DuckDB recomputes the signature, counts matching components, and
-    compares the estimate against the exact shingle Jaccard. Shares
-    ``_minhash_sig_select`` byte-identically with d02's oracle so the
-    gate memoizes the sketch once."""
+    """The ROUND-8 form of u20's oracle — full sketch + band-join + verify
+    replay. Kept as the reference for tests/test_oracle_shared.py's
+    equality check against the fragment-reusing form below; not
+    registered."""
     band_terms = _minhash_band_terms(num_hashes, bands)
     jac = (
         "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)"
@@ -403,6 +402,42 @@ def _minhash_err_oracle(
     """
 
 
+def _minhash_err_oracle(
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> str:
+    """u20's oracle, built ON the d02 fragments: joins the verified pair
+    set (`minhash_pairs`, which already carries the exact ROUND-6
+    jaccard and applies the ≥0.5 verify on the unrounded value) back to
+    the signature table (`minhash_sig12`) for the per-pair estimator.
+    Standalone the text is self-contained for the driver; the local
+    gate substitutes both fragments, so the sf1 replay is two temp-table
+    joins instead of a second full band-join + shingle-intersect pass
+    (r8 skewed gate: u20 orc 205 s). Result-identical to
+    ``_minhash_err_oracle_replay`` (unit-tested)."""
+    est = (
+        f"CAST(list_sum(list_transform(range(1, {num_hashes + 1}),"
+        " i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS INTEGER)"
+    )
+    return f"""
+        WITH pairs AS ({_minhash_oracle(k, num_hashes, bands, max_bucket)}),
+        sig AS ({_minhash_sig_select(k, num_hashes)}),
+        verified AS (
+          SELECT p.id_a, p.id_b, {est} AS est_matches, p.jaccard
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.id_a
+          JOIN sig sb ON sb.doc_id = p.id_b
+        )
+        SELECT id_a, id_b, est_matches,
+               ROUND(est_matches / {num_hashes}, 6) AS est_jaccard,
+               jaccard,
+               ROUND(ABS(est_matches / {num_hashes} - jaccard), 6) AS abs_err
+        FROM verified
+    """
+
+
 @register(
     "u20_minhash_estimate_error",
     bench=True,
@@ -424,6 +459,39 @@ def u20_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_vs_exact(
         _dirty_docs(spark, sf_dir), "doc_id", "text",
         k=3, num_hashes=12, bands=4, jaccard_threshold=0.5,
+    )
+
+
+# Same knob value as u68's funnel — the cap-proof precedent
+# (PERF.md: skewed sf1 eng 42.9 s capped vs 227.6 s uncapped).
+ERR_BUCKET_CAP = 64
+
+
+@register(
+    "u73_minhash_error_budgeted",
+    bench=True,
+    oracle=_minhash_err_oracle(max_bucket=ERR_BUCKET_CAP),
+    doc="u20's budgeted twin (VERDICT r8 #2 — u20 was the last "
+    "d02-family member without a bounded form): the same estimator-"
+    "error audit with the max_bucket=64 candidate budget threaded "
+    "through, so each (band, key) bucket contributes at most C(64,2) "
+    "pairs BY CONTRACT (rank ≤ K pre-truncation → WindowGroupLimit — "
+    "the hot bucket is cut before collect_list materializes it). On a "
+    "skewed corpus the audit itself would otherwise be output-"
+    "quadratic (r8 skew gate: u20 eng 14.3 → 148.3 s, 10.4×). u20 "
+    "stays registered as the exact parity form; this is the "
+    "production election, same recipe as u68_capped_funnel.",
+    tags=("dedup", "minhash", "quality", "llm-pipeline", "scale-guard"),
+)
+def u73_minhash_error_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        minhash_estimate_vs_exact,
+    )
+
+    return minhash_estimate_vs_exact(
+        _dirty_docs(spark, sf_dir), "doc_id", "text",
+        k=3, num_hashes=12, bands=4, jaccard_threshold=0.5,
+        max_bucket=ERR_BUCKET_CAP,
     )
 
 

@@ -78,6 +78,45 @@ def test_minhash_bucket_cap_bounds_candidates(spark):
         )
 
 
+def test_minhash_estimate_error_bucket_cap(spark):
+    """u73's engine path: the estimator audit with max_bucket must (a)
+    bound its pair set exactly like minhash_lsh_pairs' cap — the C(cap,
+    2) lowest-id pairs on an all-clones corpus, (b) agree with the
+    uncapped audit on every surviving pair's estimator columns, and (c)
+    be a no-op when the cap doesn't bind."""
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        minhash_estimate_vs_exact,
+    )
+
+    n, cap = 30, 4
+    clones = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    kw = dict(k=3, num_hashes=12, bands=4, jaccard_threshold=0.5)
+    capped = minhash_estimate_vs_exact(
+        clones, "doc_id", "text", max_bucket=cap, **kw
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {
+        (a, b) for a in range(cap) for b in range(a + 1, cap)
+    }
+    uncapped = {
+        (r.id_a, r.id_b): (r.est_matches, r.est_jaccard, r.jaccard, r.abs_err)
+        for r in minhash_estimate_vs_exact(clones, "doc_id", "text", **kw).collect()
+    }
+    assert len(uncapped) == n * (n - 1) // 2
+    for r in capped:
+        assert uncapped[(r.id_a, r.id_b)] == (
+            r.est_matches, r.est_jaccard, r.jaccard, r.abs_err
+        )
+    loose = minhash_estimate_vs_exact(
+        clones, "doc_id", "text", max_bucket=n, **kw
+    ).count()
+    assert loose == len(uncapped)
+    with pytest.raises(ValueError):
+        minhash_estimate_vs_exact(clones, "doc_id", "text", max_bucket=1)
+
+
 def test_ngram_jaccard_finds_planted_pair(docs_df):
     pairs = ngram_jaccard_pairs(docs_df, "doc_id", "text", k=3).collect()
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}

@@ -116,6 +116,37 @@ def test_fast_compare_large_results():
     assert ok or "v" in msg  # either lossless-equal or named rejection
 
 
+def test_row_hash_multiset_properties():
+    """The r9 gate comparator replaces the pandas frame sort with
+    multiset equality of vectorized row hashes — these are the
+    properties the swap relies on: swapping values BETWEEN columns
+    changes the row hash, null spellings hash alike (None == NaN, the
+    slow path's _canon_value equivalence), and reordering rows leaves
+    the multiset unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from gov_ec_pipeline_etl_spark.oracle import _row_hashes
+
+    # identical per-column multisets ({1,2} in both columns) but
+    # different row pairings: {(1,1),(2,2)} vs {(1,2),(2,1)}
+    a = {"x": pd.Series([1, 2]), "y": pd.Series([1, 2])}
+    swapped = {"x": pd.Series([1, 2]), "y": pd.Series([2, 1])}
+    ha, hb = _row_hashes(a), _row_hashes(swapped)
+    assert sorted(ha.tolist()) != sorted(hb.tolist())
+
+    o1 = {"s": pd.Series(["p", None, "q"], dtype=object)}
+    o2 = {"s": pd.Series(["p", np.nan, "q"], dtype=object)}
+    assert _row_hashes(o1).tolist() == _row_hashes(o2).tolist()
+
+    base = {"k": pd.Series([1, 2, 3]), "v": pd.Series([1.5, 0.25, -1.0])}
+    perm = {
+        "k": pd.Series([3, 1, 2]),
+        "v": pd.Series([-1.0, 1.5, 0.25]),
+    }
+    assert sorted(_row_hashes(base).tolist()) == sorted(_row_hashes(perm).tolist())
+
+
 def test_tie_sensitive_queries_parity_on_planted_ties(spark, tmp_path):
     """Adversarial tie data for every query whose window logic is
     positional: users with DUPLICATE event timestamps and customers

@@ -77,6 +77,28 @@ def test_rewrite_is_result_identical_for_every_affected_oracle():
     assert created == set(frags), created  # every fragment materialized
 
 
+def test_u20_fragment_form_equals_full_replay():
+    """r9 rewrote u20's oracle from a full band-join + shingle-intersect
+    replay to a join against the d02 fragments (the r8 skewed gate spent
+    205 s on the replay). Both standalone texts must produce identical
+    results — the retired replay form is kept, unregistered, exactly for
+    this check."""
+    from gov_ec_pipeline_etl_spark.oracle import duckdb_connection
+    from gov_ec_pipeline_etl_spark.plans.dedup_queries import (
+        _minhash_err_oracle,
+        _minhash_err_oracle_replay,
+    )
+
+    con = duckdb_connection(SF_DIR)
+    try:
+        new = _canon(con.execute(_minhash_err_oracle()).fetchdf())
+        old = _canon(con.execute(_minhash_err_oracle_replay()).fetchdf())
+        pd.testing.assert_frame_equal(old, new, check_dtype=False)
+        assert len(new) > 0  # planted near-dups guarantee a non-empty check
+    finally:
+        con.close()
+
+
 def test_every_fragment_occurrence_is_parenthesized():
     """The gate rewrite is blind str.replace, so the registration
     contract (see register_shared_fragment) requires every occurrence
