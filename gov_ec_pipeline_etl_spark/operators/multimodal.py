@@ -462,3 +462,130 @@ def audio_envelope_fp(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "fp"])
 
     return df.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+# --- video (u72) ------------------------------------------------------------
+#
+# The round-8 video attempt was DROPPED because the linear PPM ramp
+# (base*7 + i*13) yields low-entropy frame fingerprints — thousands of
+# videos shared dHash bits and the pair output went superlinear. The r9
+# fixture uses quadratic-residue noise mod a 31-bit prime: pixel values
+# are effectively uniform, 60-bit video fingerprints are ~all distinct
+# (measured 49992/50000 at sf1-scale ids), and the only near-dups are
+# the planted mutation families. Still pure integer arithmetic — x < 2^31
+# so x*x < 2^62 stays exact in both numpy int64 and DuckDB BIGINT.
+
+VID_MOD = 2147483647       # 2^31 - 1 (prime)
+VID_MUT_STEP = 13          # every 13th pixel of every frame of a mutated copy
+VID_MUT_DELTA = 6          # ... nudged by +6 mod 256
+VID_FRAME_STRIDE = 2       # fingerprint samples every 2nd frame
+
+
+def _vid_pixels(payload: bytes):
+    """Parse the deterministic video container: ``VID\\n{w} {h} {nf}\\n``
+    header + nf frames of w*h raw grayscale bytes. Returns
+    (w, h, planes) with planes shaped (nf, h, w)."""
+    import numpy as np
+
+    if not payload.startswith(b"VID\n"):
+        raise ValueError("not a VID payload")
+    hdr_end = payload.index(b"\n", 4)
+    w, h, nf = (int(t) for t in payload[4:hdr_end].split())
+    plane = np.frombuffer(payload, dtype=np.uint8, offset=hdr_end + 1)
+    if plane.size != nf * h * w:
+        raise ValueError(f"VID payload size {plane.size} != {nf}x{h}x{w}")
+    return w, h, plane.reshape(nf, h, w)
+
+
+def video_fixture_payloads(
+    df: DataFrame, id_col: str = "media_id", mut_offset: int | None = None
+) -> DataFrame:
+    """Deterministic video payloads as a pure function of the id: width
+    12 + id%7, height 6 + id%5, frames 6 + id%4; pixel i of frame f is
+    ``((x*x) % {M}) % 256`` with ``x = (id*1103515245 + f*12345 +
+    i*2654435761) % {M}`` (M = 2^31-1) — high-entropy quadratic-residue
+    noise the DuckDB oracle replays exactly.
+
+    ``mut_offset``: ids at or above it are NEAR-DUPLICATE copies of
+    ``id - mut_offset`` — same dims and frame count, every
+    ``VID_MUT_STEP``-th pixel of every frame nudged by +``VID_MUT_DELTA``
+    mod 256 (measured planted Hamming <= 6 at sf1-scale ids)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                m = int(mid)
+                base = (
+                    m - mut_offset
+                    if mut_offset is not None and m >= mut_offset
+                    else m
+                )
+                w, h = 12 + base % 7, 6 + base % 5
+                nf = 6 + base % 4
+                i = np.arange(w * h, dtype=np.int64)
+                frames = []
+                for f in range(nf):
+                    x = (
+                        base * 1103515245 + f * 12345 + i * 2654435761
+                    ) % VID_MOD
+                    pix = ((x * x) % VID_MOD) % 256
+                    if base != m:
+                        pix = (
+                            pix
+                            + np.where(i % VID_MUT_STEP == 0, VID_MUT_DELTA, 0)
+                        ) % 256
+                    frames.append(pix.astype(np.uint8))
+                rows.append(
+                    (
+                        m,
+                        f"VID\n{w} {h} {nf}\n".encode()
+                        + np.concatenate(frames).tobytes(),
+                        "video/x-raw-gray",
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "media_type"])
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+def video_dhash_fp(df: DataFrame) -> DataFrame:
+    """Perceptual video fingerprint over real parsed VID payloads:
+    sample every ``VID_FRAME_STRIDE``-th frame (temporal frame-sampling
+    — a re-encode that drops or duplicates in-between frames leaves the
+    sampled sequence mostly intact), dHash each sampled frame on the
+    shared 11x6 integer grid (``dhash_images``' exact math on the
+    grayscale plane), then take the PER-BIT MAJORITY across sampled
+    frames (2*ones >= n, the SimHash convention) — one 60-bit BIGINT
+    per video that tolerates single-frame noise.
+
+    Every step is integer-exact, so a SQL oracle can replay the
+    fingerprint from the pixel-generator arithmetic alone; the 60-bit
+    width keeps ``fingerprint_group_pairs``' 4x15-bit chunk-LSH
+    machinery applicable unchanged (the u69/u70 convention).
+
+    Input: (media_id, payload) rows; output (id, fp). Arrow-batched
+    mapInPandas, constant memory per batch, no shuffle."""
+    import numpy as np
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+    weights = 1 << np.arange((gw - 1) * gh, dtype=np.int64)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, planes = _vid_pixels(bytes(p))
+                sampled = planes[::VID_FRAME_STRIDE].astype(np.int64)
+                sx = (np.arange(gw, dtype=np.int64) * w) // gw
+                sy = (np.arange(gh, dtype=np.int64) * h) // gh
+                grid = sampled[np.ix_(range(sampled.shape[0]), sy, sx)]
+                bit_sum = (grid[:, :, 1:] > grid[:, :, :-1]).sum(axis=0)
+                bits = (2 * bit_sum >= sampled.shape[0]).astype(np.int64)
+                rows.append((int(mid), int((bits.reshape(-1) * weights).sum())))
+            yield pd.DataFrame(rows, columns=["id", "fp"])
+
+    return df.mapInPandas(_hash, schema=DHASH_SCHEMA)

@@ -1823,6 +1823,145 @@ def u70_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hold(fingerprint_group_pairs(fp, max_hamming=2), fp)
 
 
+def _video_fp_oracle(max_hamming: int = 6) -> str:
+    """Full arithmetic replay of the video near-dup path: quadratic-
+    residue pixel noise, per-sampled-frame 11x6 dHash, per-bit majority
+    across frames, exact-fingerprint group collapse, 4x15-bit chunk-LSH
+    candidates, Hamming verify — no step trusts the engine (the u69/u70
+    discipline, third modality)."""
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        VID_FRAME_STRIDE,
+        VID_MOD,
+        VID_MUT_DELTA,
+        VID_MUT_STEP,
+    )
+    from gov_ec_pipeline_etl_spark.plans.dedup_queries import _chunk_terms
+
+    return f"""
+        WITH vids AS (
+          SELECT doc_id AS media_id, doc_id AS base, 0 AS mut FROM documents
+          UNION ALL
+          SELECT doc_id + {MUT_OFFSET} AS media_id, doc_id AS base, 1 AS mut
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        dims AS (
+          SELECT media_id, base, mut,
+                 12 + base % 7 AS w, 6 + base % 5 AS h, 6 + base % 4 AS nf
+          FROM vids
+        ),
+        frames AS (
+          SELECT media_id, base, mut, w, h, CAST(fr.f AS BIGINT) AS f
+          FROM dims, UNNEST(range(0, nf, {VID_FRAME_STRIDE})) AS fr(f)
+        ),
+        cells AS (
+          SELECT media_id, base, mut, w, f,
+                 CAST(u.gy AS BIGINT) AS gy, CAST(v.gx AS BIGINT) AS gx,
+                 ((CAST(u.gy AS BIGINT) * h) // {DHASH_GRID_H}) * w
+                   + (CAST(v.gx AS BIGINT) * w) // {DHASH_GRID_W} AS i
+          FROM frames,
+               UNNEST(range(0, {DHASH_GRID_H})) AS u(gy),
+               UNNEST(range(0, {DHASH_GRID_W})) AS v(gx)
+        ),
+        mixed AS (
+          SELECT media_id, mut, f, gy, gx, i,
+                 (base*1103515245 + f*12345 + i*2654435761) % {VID_MOD} AS x
+          FROM cells
+        ),
+        pix AS (
+          SELECT media_id, f, gy, gx,
+                 (((x*x) % {VID_MOD}) % 256
+                  + CASE WHEN mut = 1 AND i % {VID_MUT_STEP} = 0
+                         THEN {VID_MUT_DELTA} ELSE 0 END) % 256 AS p
+          FROM mixed
+        ),
+        fbits AS (
+          SELECT a.media_id, a.f, a.gy, a.gx,
+                 CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+          FROM pix a JOIN pix b
+            ON b.media_id = a.media_id AND b.f = a.f
+           AND b.gy = a.gy AND b.gx = a.gx + 1
+        ),
+        vbits AS (
+          SELECT media_id, gy, gx,
+                 CASE WHEN 2*SUM(bit) >= COUNT(*) THEN 1 ELSE 0 END AS bit
+          FROM fbits GROUP BY media_id, gy, gx
+        ),
+        fps AS (
+          SELECT media_id AS doc_id,
+                 CAST(SUM(bit * (CAST(1 AS BIGINT)
+                     << CAST(gy*{DHASH_GRID_W - 1} + gx AS INTEGER))) AS BIGINT)
+                   AS fp
+          FROM vbits GROUP BY media_id
+        ),
+        groups AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp),
+        chunked AS (
+          SELECT fp, n_docs, unnest([{_chunk_terms(4, 15)}]) AS c
+          FROM groups
+        )
+        SELECT fp AS fp_a, fp AS fp_b, CAST(0 AS INT) AS hamming,
+               n_docs AS docs_a, n_docs AS docs_b,
+               n_docs * (n_docs - 1) // 2 AS n_pairs
+        FROM groups WHERE n_docs >= 2
+        UNION ALL
+        SELECT DISTINCT a.fp AS fp_a, b.fp AS fp_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming,
+               a.n_docs AS docs_a, b.n_docs AS docs_b,
+               a.n_docs * b.n_docs AS n_pairs
+        FROM chunked a JOIN chunked b
+          ON a.c.idx = b.c.idx AND a.c.val = b.c.val AND a.fp < b.fp
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+@register(
+    "u72_video_fp_neardup",
+    bench=True,
+    oracle=lambda sf_dir: _video_fp_oracle(),
+    doc="Content-level VIDEO near-dup — the fourth modality on the "
+    "shared fingerprint machinery (text u18/d02, image u69, audio u70; "
+    "VERDICT r8 #7, shipped WITH the required fixture redesign: the r8 "
+    "attempt's linear PPM ramp gave low-entropy fingerprints and "
+    "superlinear output, so the r9 fixture uses quadratic-residue "
+    "pixel noise mod 2^31-1 — measured 49992/50000 distinct video fps "
+    "at sf1-scale ids, planted mutation Hamming <= 6). Real container "
+    "walk (VID header + raw grayscale frame planes), temporal frame-"
+    "sampling every 2nd frame, per-frame 11x6 dHash, per-bit majority "
+    "across sampled frames, then the shared group-level chunk-LSH "
+    "(fingerprint_group_pairs — exact-fp clone families collapse to "
+    "one diagonal row BEFORE banding) verified at Hamming <= 6. The "
+    "oracle replays pixels, per-frame hash, majority, collapse, and "
+    "banding arithmetically — matching proves the real parse+"
+    "fingerprint path end to end.",
+    tags=("multimodal", "dedup", "video", "lsh", "pandas-udf",
+          "llm-pipeline"),
+)
+def u72_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_ec_pipeline_etl_spark.caching import hold
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        fingerprint_group_pairs,
+    )
+    from gov_ec_pipeline_etl_spark.operators.multimodal import (
+        video_dhash_fp,
+        video_fixture_payloads,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+    mut = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + MUT_OFFSET).cast("long").alias("media_id")
+    )
+    payloads = video_fixture_payloads(
+        ids.unionByName(mut), mut_offset=MUT_OFFSET
+    )
+    # fingerprints persist+materialize once; the group collapse and both
+    # chunk-join sides read the cache (parse+hash is the hot stage)
+    fp = video_dhash_fp(payloads).persist()
+    fp.count()
+    return hold(fingerprint_group_pairs(fp, max_hamming=6), fp)
+
+
 @register(
     "u16_wav_decode",
     oracle="""
