@@ -300,7 +300,9 @@ def compare(
     # replica and the driver can't mask a failure (round-1 m03 trap).
     for pdf, side in ((spark_pdf, "spark"), (duck_pdf, "duckdb")):
         for c in pdf.columns:
-            if pdf[c].map(
+            # only object dtype can hold list values — the unconditional
+            # per-value map cost ~285 s of d03's 130 M-row sf1 entry
+            if pdf[c].dtype == object and pdf[c].map(
                 lambda v: isinstance(v, (list, tuple))
                 or type(v).__name__ == "ndarray"
             ).any():

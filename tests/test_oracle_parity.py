@@ -116,6 +116,34 @@ def test_fast_compare_large_results():
     assert ok or "v" in msg  # either lossless-equal or named rejection
 
 
+def test_list_valued_columns_still_rejected():
+    """The r9 dtype guard on the non-scalar detector (numeric dtypes
+    cannot hold lists — the unconditional per-value map cost ~285 s of
+    d03's 130 M-row sf1 entry) must not weaken the round-1 m03 trap:
+    object columns carrying lists are still rejected."""
+    import duckdb
+    import pandas as pd
+
+    from gov_ec_pipeline_etl_spark.oracle import compare
+
+    class FakeDF:
+        def __init__(self, pdf):
+            self._p = pdf
+
+        def toPandas(self):
+            return self._p
+
+    con = duckdb.connect()
+    try:
+        bad = FakeDF(pd.DataFrame({"k": [1, 2], "v": [[1, 2], [3]]}))
+        ok, msg = compare(
+            bad, "SELECT 1 AS k, 2 AS v UNION ALL SELECT 2, 3", ".", con
+        )
+        assert not ok and "non-scalar" in msg
+    finally:
+        con.close()
+
+
 def test_row_hash_multiset_properties():
     """The r9 gate comparator replaces the pandas frame sort with
     multiset equality of vectorized row hashes — these are the

@@ -43,19 +43,28 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALE_SKIPS = {
-    "d03_simhash": "result is O(n^2/400) pairs on the 31-word synthetic "
-    "vocab (~130M rows at sf1); diff cost is harness-bound, engine "
-    "verified rows-level and hash-green at <=sf0.1",
     "s02_embedding_neardup": "oracle is the intentionally-quadratic "
     "brute-force scan (>20 min in DuckDB at sf1); engine hash-green at "
     "<=sf0.1",
 }
-# additional skips for --skew at sf>=0.5: queries whose OUTPUT is
+# d03's uniform-gate skip was REMOVED in round 9: its stated reason
+# ("diff cost is harness-bound") died with the hash-multiset
+# comparator — measured at sf1 uniform: 130 853 276 rows hash-green in
+# 798 s (eng 61.6 / orc 359.4 / cmp 92.0). It remains skipped on
+# --skew below, where the reason is different in kind.
+#
+# Additional skips for --skew at sf>=0.5: queries whose OUTPUT is
 # combinatorially quadratic on a hot key — not an engine bottleneck
 # (DuckDB blows up identically), the query's own semantics on
 # adversarial keys. Verified green on skewed data at sf0.01 (full
 # skew-smoke gate) and on uniform data at every scale.
 SKEW_SCALE_SKIPS = {
+    "d03_simhash": "doc-level pair output is combinatorial in clone-"
+    "family sizes; the zipf(1.2) vocab concentrates identical "
+    "fingerprints, so the sf1-skew answer itself is O(hot-family²) "
+    "(hundreds of millions of rows in BOTH engines) — u18 is the "
+    "density-guard election and stays in the gate. Green at sf0.01 "
+    "skew and hash-green at sf1 uniform (130.9M rows, round 9).",
     "v01_stream_stream_join": "click×purchase attribution emits the "
     "per-user cross product; a 30%-hot user at sf1 holds ~60k clicks × "
     "~60k purchases → ~3.6e9 output rows (engine AND oracle). "
