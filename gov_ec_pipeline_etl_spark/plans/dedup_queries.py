@@ -236,11 +236,7 @@ _SIMHASH_FP_ASSEMBLE = " + ".join(
     "ELSE 0 END)"
     for b in range(60)
 )
-# Standalone (doc_id, fp) SELECT — registered as the shared fragment
-# `simhash_fps60` so the gate materializes the 60-SUM fingerprint chain
-# ONCE per connection for d03 AND u18 (with d03 back in the uniform sf1
-# gate since r9, the chain otherwise replays twice: ~360 s each).
-_SIMHASH_FPS_SELECT = f"""WITH corpus AS ({DIRTY_SQL}),
+_SIMHASH_FPS_CTES = f"""corpus AS ({DIRTY_SQL}),
         toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
         hv AS (
           SELECT doc_id, {portable_hash64_sql('t', 0)} AS h
@@ -250,16 +246,16 @@ _SIMHASH_FPS_SELECT = f"""WITH corpus AS ({DIRTY_SQL}),
           SELECT doc_id, COUNT(*) AS n,
                  {_SIMHASH_BIT_SUMS}
           FROM hv GROUP BY doc_id
-        )
-        SELECT doc_id, CAST({_SIMHASH_FP_ASSEMBLE} AS BIGINT) AS fp
-        FROM bitagg"""
-
-register_shared_fragment("simhash_fps60", _SIMHASH_FPS_SELECT)
+        ),
+        fps AS (
+          SELECT doc_id, CAST({_SIMHASH_FP_ASSEMBLE} AS BIGINT) AS fp
+          FROM bitagg
+        )"""
 
 
 def _simhash_oracle(chunks: int = 4, chunk_bits: int = 15, max_hamming: int = 8) -> str:
     return f"""
-        WITH fps AS ({_SIMHASH_FPS_SELECT}),
+        WITH {_SIMHASH_FPS_CTES},
         chunked AS (
           SELECT doc_id, fp, unnest([{_chunk_terms(chunks, chunk_bits)}]) AS c
           FROM fps
@@ -276,7 +272,7 @@ def _simhash_group_oracle(
     chunks: int = 4, chunk_bits: int = 15, max_hamming: int = 8
 ) -> str:
     return f"""
-        WITH fps AS ({_SIMHASH_FPS_SELECT}),
+        WITH {_SIMHASH_FPS_CTES},
         groups AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp),
         chunked AS (
           SELECT fp, n_docs, unnest([{_chunk_terms(chunks, chunk_bits)}]) AS c

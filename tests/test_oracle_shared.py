@@ -34,7 +34,7 @@ def test_fragments_registered():
     from gov_ec_pipeline_etl_spark.plans.registry import shared_fragments
 
     frags = shared_fragments()
-    assert {"minhash_sig12", "minhash_pairs", "simhash_fps60"} <= set(frags)
+    assert {"minhash_sig12", "minhash_pairs"} <= set(frags)
     # nesting: the pair replay embeds the sketch select verbatim
     assert frags["minhash_sig12"] in frags["minhash_pairs"]
 
