@@ -195,6 +195,10 @@ def _minhash_oracle(
 # materialization reuses the sketch table.
 register_shared_fragment("minhash_sig12", _minhash_sig_select())
 register_shared_fragment("minhash_pairs", _minhash_oracle())
+# The max_bucket=64 pair replay appears verbatim inside u73 and u74 —
+# same memoize-the-chain shape as minhash_pairs (small output, heavy
+# sketch chain), NOT the reverted d03 self-join indirection.
+register_shared_fragment("minhash_pairs_cap64", _minhash_oracle(max_bucket=64))
 
 
 @register(

@@ -2100,12 +2100,12 @@ def u28_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _leakage_oracle() -> str:
+def _leakage_oracle(max_bucket: int | None = None) -> str:
     from gov_ec_pipeline_etl_spark.operators.splits import stratified_split_sql
     from gov_ec_pipeline_etl_spark.plans.dedup_queries import _minhash_oracle
 
     return f"""
-        WITH pairs AS ({_minhash_oracle()}),
+        WITH pairs AS ({_minhash_oracle(max_bucket=max_bucket)}),
         splits AS ({stratified_split_sql(_DIRTY_WITH_SOURCE_SQL, "doc_id", "source")})
         SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
                p.jaccard
@@ -2130,6 +2130,16 @@ def _leakage_oracle() -> str:
     tags=("llm-pipeline", "dedup", "split", "audit"),
 )
 def u29_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _split_leakage(spark, sf_dir, max_bucket=None)
+
+
+def _split_leakage(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None
+) -> DataFrame:
+    """Shared body of u29 (exact parity form) and u74 (budgeted twin):
+    near-dup pairs joined to the stratified split table, keeping only
+    cross-split pairs. ``max_bucket`` threads straight through to
+    ``minhash_lsh_pairs``' candidate-budget knob."""
     from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import minhash_lsh_pairs
     from gov_ec_pipeline_etl_spark.operators.splits import stratified_split
 
@@ -2143,7 +2153,7 @@ def u29_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = minhash_lsh_pairs(
         dirty, "doc_id", "text", k=3, num_hashes=12, bands=4,
-        jaccard_threshold=0.5,
+        jaccard_threshold=0.5, max_bucket=max_bucket,
     )
     splits = stratified_split(
         dirty.select("doc_id", "source"), "doc_id", "source"
@@ -2163,6 +2173,30 @@ def u29_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
     return hold(out, *getattr(pairs, "_persisted_inputs", []))
+
+
+@register(
+    "u74_split_leakage_budgeted",
+    bench=True,
+    oracle=_leakage_oracle(max_bucket=64),
+    doc="u29's budgeted twin (VERDICT r9 #1 — u29 was the last >3x "
+    "skew-inflating form without a bounded election): the same "
+    "split-leakage audit consuming the max_bucket=64 CAPPED near-dup "
+    "pair stream instead of the uncapped one, so each (band, key) LSH "
+    "bucket contributes at most C(64,2) candidate pairs BY CONTRACT "
+    "(rank <= K pre-truncation -> WindowGroupLimit; the u68/u73 "
+    "recipe, same knob value). On a skewed corpus the uncapped audit "
+    "is output-driven (r9 skew gate: u29 eng 13.8 -> 65.4 s, 4.7x) "
+    "because zipf clone families blow up bucket occupancy; the cap "
+    "bounds the pair fan-out before the shuffle carries it. "
+    "Deterministic lowest-id survivors, hence fully oracle-replayable "
+    "— the oracle replays the identical cap in SQL via the d02 "
+    "fragment's ROW_NUMBER() form. u29 stays registered as the exact "
+    "parity form; this is the production election.",
+    tags=("llm-pipeline", "dedup", "split", "audit", "scale-guard"),
+)
+def u74_split_leakage_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _split_leakage(spark, sf_dir, max_bucket=64)
 
 
 # --- span-level duplication + LM quality scoring --------------------------

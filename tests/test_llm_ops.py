@@ -117,6 +117,27 @@ def test_minhash_estimate_error_bucket_cap(spark):
         minhash_estimate_vs_exact(clones, "doc_id", "text", max_bucket=1)
 
 
+def test_split_leakage_budgeted_subset(spark):
+    """u74's engine path: the budgeted leakage audit must be a SUBSET of
+    u29's exact form (the cap only removes candidate pairs, never adds
+    or rewrites them), agree on every surviving row, and be a no-op
+    under a non-binding cap."""
+    from gov_ec_pipeline_etl_spark.plans.training_queries import _split_leakage
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        (r.id_a, r.id_b): (r.split_a, r.split_b, r.jaccard)
+        for r in _split_leakage(spark, SF_SMOKE, max_bucket=None).collect()
+    }
+    capped = _split_leakage(spark, SF_SMOKE, max_bucket=64).collect()
+    assert len(capped) <= len(exact)
+    for r in capped:
+        assert exact[(r.id_a, r.id_b)] == (r.split_a, r.split_b, r.jaccard)
+    # sf0.001 buckets never reach 10^6 occupants: cap is a no-op
+    loose = _split_leakage(spark, SF_SMOKE, max_bucket=10**6).collect()
+    assert {(r.id_a, r.id_b) for r in loose} == set(exact)
+
+
 def test_ngram_jaccard_finds_planted_pair(docs_df):
     pairs = ngram_jaccard_pairs(docs_df, "doc_id", "text", k=3).collect()
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
