@@ -158,6 +158,22 @@ MUT_STEP = 37  # every 37th payload byte of a mutated copy is perturbed
 MUT_DELTA = 3  # ... by +3 mod 256 (a small brightness nudge)
 
 
+def _check_mut_id(m: int, mut_offset: int | None) -> None:
+    """Fail LOUDLY if the planted-near-dup id layout breaks (ADVICE r9):
+    the ``id >= mut_offset -> mutated copy`` classification silently
+    misreads a BASE id >= mut_offset (possible once n_doc outgrows the
+    offset, sf >= 20 at MUT_OFFSET=1e6) as a mutant while the SQL
+    oracles still generate it as a base — a silent parity break. Every
+    genuine mutant id is base + mut_offset with base < mut_offset, so
+    an id >= 2*mut_offset proves some base crossed the offset; raising
+    here kills the job instead of letting the fixture drift."""
+    if mut_offset is not None and m >= 2 * mut_offset:
+        raise ValueError(
+            f"fixture id {m} >= 2*mut_offset ({2 * mut_offset}): a base id "
+            "crossed mut_offset — raise MUT_OFFSET above the corpus id range"
+        )
+
+
 def ppm_fixture_payloads(
     df: DataFrame, id_col: str = "media_id", mut_offset: int | None = None
 ) -> DataFrame:
@@ -177,6 +193,7 @@ def ppm_fixture_payloads(
             rows = []
             for mid in pdf[id_col]:
                 m = int(mid)
+                _check_mut_id(m, mut_offset)
                 base = (
                     m - mut_offset
                     if mut_offset is not None and m >= mut_offset
@@ -225,6 +242,7 @@ def wav_fixture_payloads(
             rows = []
             for mid in pdf[id_col]:
                 m = int(mid)
+                _check_mut_id(m, mut_offset)
                 base = (
                     m - mut_offset
                     if mut_offset is not None and m >= mut_offset
@@ -517,6 +535,7 @@ def video_fixture_payloads(
             rows = []
             for mid in pdf[id_col]:
                 m = int(mid)
+                _check_mut_id(m, mut_offset)
                 base = (
                     m - mut_offset
                     if mut_offset is not None and m >= mut_offset

@@ -152,10 +152,17 @@ def _fast_compare(
     hash arrays. np.sort on uint64 is seconds where the frame sort was
     minutes. A genuine single-row difference is masked only if the two
     differing rows collide at 64 bits (~2^-64 per differing row). On
-    mismatch, the old sorted column-wise diff runs once to name the
-    differing column — the sort cost is paid only on failure."""
+    mismatch, per-column hash multisets (O(cols) extra uint64 sorts,
+    no frame sort) name the differing column(s); a row-COUNT mismatch
+    short-circuits first, since with unequal lengths every per-column
+    multiset would differ and the message would name all columns."""
     import numpy as np
 
+    if len(spark_pdf) != len(duck_pdf):
+        return False, (
+            f"row count mismatch: spark {len(spark_pdf)} vs "
+            f"duckdb {len(duck_pdf)} (large-result fast compare)"
+        )
     s_cols: dict[str, pd.Series] = {}
     d_cols: dict[str, pd.Series] = {}
     for c in cols:

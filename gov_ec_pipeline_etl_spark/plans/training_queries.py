@@ -1930,7 +1930,13 @@ def _video_fp_oracle(max_hamming: int = 6) -> str:
     "sampling every 2nd frame, per-frame 11x6 dHash, per-bit majority "
     "across sampled frames, then the shared group-level chunk-LSH "
     "(fingerprint_group_pairs — exact-fp clone families collapse to "
-    "one diagonal row BEFORE banding) verified at Hamming <= 6. The "
+    "one diagonal row BEFORE banding) verified at Hamming <= 6. Recall "
+    "bound (ADVICE r9): 4x15-bit chunk-LSH GUARANTEES candidate recall "
+    "only for Hamming <= 3 (pigeonhole — one chunk must be untouched); "
+    "pairs at 4-6 flips are found best-effort unless all four chunks "
+    "are hit, and engine and oracle miss such pairs IDENTICALLY, so "
+    "parity stays exact while absolute recall at 4-6 is not promised. "
+    "The "
     "oracle replays pixels, per-frame hash, majority, collapse, and "
     "banding arithmetically — matching proves the real parse+"
     "fingerprint path end to end.",

@@ -115,6 +115,25 @@ def test_fast_compare_large_results():
     ok, msg = _fast_compare(ss, sv, ["k", "v"])
     assert ok or "v" in msg  # either lossless-equal or named rejection
 
+    # ADVICE r9: a row-COUNT mismatch must short-circuit with a count
+    # message, not name every column
+    ok, msg = _fast_compare(a, a.iloc[:2], ["k", "s", "v"])
+    assert not ok and "row count mismatch" in msg, msg
+
+
+def test_mut_id_guard_fails_loudly():
+    """ADVICE r9: a fixture id >= 2*mut_offset (proof that a base id
+    crossed the offset) must raise instead of silently classifying the
+    base as a mutant while the SQL oracle generates it as a base."""
+    import pytest as _pytest
+
+    from gov_ec_pipeline_etl_spark.operators.multimodal import _check_mut_id
+
+    _check_mut_id(1_999_999, 1_000_000)  # genuine mutant range: fine
+    _check_mut_id(5, None)  # no planted mutants: fine
+    with _pytest.raises(ValueError, match="crossed mut_offset"):
+        _check_mut_id(2_000_000, 1_000_000)
+
 
 def test_list_valued_columns_still_rejected():
     """The r9 dtype guard on the non-scalar detector (numeric dtypes
