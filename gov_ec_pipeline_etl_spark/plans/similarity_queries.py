@@ -58,11 +58,7 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
 
 
-@register(
-    "s02_embedding_neardup",
-    bench=True,
-    oracle=f"""
-        WITH corpus AS (
+_S02_CORPUS_CTE = """corpus AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
           SELECT vec_id + 1000000,
@@ -72,20 +68,101 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
           FROM corpus
-        )
+        )"""
+
+
+def _s02_exact_oracle() -> str:
+    """The original intentionally-quadratic exact scan. No longer the
+    registered oracle (>20 min in DuckDB at sf1 — the last uniform-sf1
+    gate skip, VERDICT r9 #6); kept as the ground truth the bounded
+    oracle is equality-tested against at small sf
+    (tests/test_llm_ops.py::test_s02_bounded_oracle_equals_exact)."""
+    return f"""
+        WITH {_S02_CORPUS_CTE}
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND({_COS_SQL}, 3) AS cos_r
         FROM vecs a, vecs b
         WHERE a.vec_id < b.vec_id
           AND {_COS_SQL} >= 0.999
-    """,
+    """
+
+
+def _s02_bounded_sql(dim: int, plane_sets: list[list[list[float]]]) -> str:
+    """Bounded s02 oracle: replay the engine's banded hyperplane
+    bucketing in SQL (candidates = pairs sharing ANY band key), then
+    exact-cosine verify — the same candidate-then-verify shape the
+    engine runs, so oracle cost is bucket-join-bounded instead of
+    quadratic. Sign bits use the left-associated literal chain; the
+    engine's ``band_keys_udf`` uses a BLAS matmul, which is not
+    bit-identical on near-zero projections, but the admissible pairs
+    (cosine ≥ 0.999, i.e. near-parallel — in this fixture exactly
+    positively-scaled copies) get proportional projections whose signs
+    agree under EVERY summation order, so the true-pair candidate sets
+    coincide and the exact verify kills any differing false candidates
+    on both sides identically (the same argument band_keys_udf's
+    docstring makes for banded-vs-single-table engine equality,
+    regression-tested there; bounded-vs-exact oracle equality is
+    unit-tested for both branch shapes)."""
+    band_structs = []
+    for b, planes in enumerate(plane_sets):
+        bits = []
+        for i, p in enumerate(planes):
+            proj = " + ".join(
+                f"emb_d[{j + 1}]*CAST('{float(c)!r}' AS DOUBLE)"
+                for j, c in enumerate(p)
+            )
+            bits.append(
+                f"(CASE WHEN {proj} >= 0 THEN CAST({1 << i} AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END)"
+            )
+        band_structs.append(f"{{'b': {b}, 'k': {' + '.join(bits)}}}")
+    return f"""
+        WITH {_S02_CORPUS_CTE},
+        keyed AS (
+          SELECT vec_id, unnest([{', '.join(band_structs)}]) AS bk FROM vecs
+        ),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM keyed x JOIN keyed y
+            ON x.bk.b = y.bk.b AND x.bk.k = y.bk.k AND x.vec_id < y.vec_id
+        )
+        SELECT c.id_a, c.id_b, ROUND({_COS_SQL}, 3) AS cos_r
+        FROM cand c
+        JOIN vecs a ON a.vec_id = c.id_a
+        JOIN vecs b ON b.vec_id = c.id_b
+        WHERE {_COS_SQL} >= 0.999
+    """
+
+
+def _s02_bounded_oracle(sf_dir: str, dim: int = 64) -> str:
+    """sf-aware bounded oracle mirroring s02's stats-based strategy
+    pick EXACTLY (same footer row count, same threshold, same plane
+    seeds), so the replayed bucketing is the one the engine ran."""
+    from gov_ec_pipeline_etl_spark.operators.similarity import hyperplanes
+    from gov_ec_pipeline_etl_spark.tables import table_rows
+
+    if table_rows(sf_dir, "embeddings") * 2 > 10_000:
+        plane_sets = [hyperplanes(dim, 12, 42 + 101 * b) for b in range(4)]
+    else:
+        plane_sets = [hyperplanes(dim, 8, 42)]
+    return _s02_bounded_sql(dim, plane_sets)
+
+
+@register(
+    "s02_embedding_neardup",
+    bench=True,
+    oracle=_s02_bounded_oracle,
     doc="Embedding near-duplicate pairs (cosine ≥ 0.999) on a corpus "
     "with planted scaled copies (scaling preserves cosine). The engine "
     "runs the LSH-BUCKETED path (hyperplane sign buckets → in-bucket "
-    "pairs only — no quadratic cross join) while the oracle runs the "
-    "exact quadratic scan: results agree because positive scaling "
-    "preserves hyperplane signs exactly, so every ≥0.999 pair shares a "
-    "bucket — i.e. the oracle also validates the LSH recall argument.",
+    "pairs only — no quadratic cross join); the oracle replays the "
+    "SAME banded bucketing + exact-cosine verify in SQL (VERDICT r9 "
+    "#6: the previous exact-quadratic oracle was the last uniform-sf1 "
+    "gate skip at >20 min DuckDB), picking the branch via the same "
+    "footer-row-count rule the engine uses. The quadratic ground truth "
+    "is retained as _s02_exact_oracle and the bounded form is "
+    "equality-tested against it for both branch shapes at small sf, "
+    "preserving the LSH recall validation the old oracle provided.",
     tags=("similarity", "dedup", "lsh", "llm-pipeline"),
 )
 def s02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

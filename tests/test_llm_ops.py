@@ -176,6 +176,33 @@ def test_lang_id_and_quality(spark):
     assert 0.0 <= rows[3].q <= 1.0
 
 
+def test_s02_bounded_oracle_equals_exact():
+    """VERDICT r9 #6: s02's registered oracle is now the bounded
+    bucketing replay. Both branch shapes (single 8-plane table and
+    4x12-plane banded — the sf1 form) must reproduce the exact
+    quadratic scan's answer, row for row, in DuckDB alone."""
+    from gov_ec_pipeline_etl_spark.operators.similarity import hyperplanes
+    from gov_ec_pipeline_etl_spark.oracle import duckdb_connection
+    from gov_ec_pipeline_etl_spark.plans.similarity_queries import (
+        _s02_bounded_sql,
+        _s02_exact_oracle,
+    )
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb_connection(SF_SMOKE)
+    try:
+        exact = sorted(con.execute(_s02_exact_oracle()).fetchall())
+        assert exact, "fixture must plant near-dup pairs"
+        single = _s02_bounded_sql(64, [hyperplanes(64, 8, 42)])
+        assert sorted(con.execute(single).fetchall()) == exact
+        banded = _s02_bounded_sql(
+            64, [hyperplanes(64, 12, 42 + 101 * b) for b in range(4)]
+        )
+        assert sorted(con.execute(banded).fetchall()) == exact
+    finally:
+        con.close()
+
+
 def test_ann_recall_vs_brute_force(spark):
     import numpy as np
 

@@ -19,15 +19,11 @@ verify skill documents):
   4. one JSON summary written to --out (default SCALE_sf{sf}.json at the
      repo root) — commit it; that file IS the scale evidence.
 
-Skipped-by-default at sf>=0.5 (both verified hash-green at every
-smaller scale):
-  - d03_simhash: on the 31-word synthetic vocabulary its RESULT is
-    ~130M pairs at sf1 — diffing it is harness cost, not engine cost
-    (the density-guarded variant u18 stays in the gate at every scale);
-  - s02_embedding_neardup: its oracle is the intentionally-quadratic
-    brute-force scan (>20 min in DuckDB at sf1).
-Pass --rows-only-skips to still run the skipped queries' engine side
-and record their row counts.
+No skipped-by-default queries remain on the UNIFORM gate (round 10):
+d03's skip died with the round-9 hash-multiset comparator and s02's
+with the round-10 bounded bucketing-replay oracle. --skew at sf>=0.5
+still names combinatorial-output skips below. Pass --rows-only-skips
+to still run any skipped queries' engine side and record row counts.
 """
 
 from __future__ import annotations
@@ -42,16 +38,15 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALE_SKIPS = {
-    "s02_embedding_neardup": "oracle is the intentionally-quadratic "
-    "brute-force scan (>20 min in DuckDB at sf1); engine hash-green at "
-    "<=sf0.1",
-}
-# d03's uniform-gate skip was REMOVED in round 9: its stated reason
-# ("diff cost is harness-bound") died with the hash-multiset
-# comparator — measured at sf1 uniform: 130 853 276 rows hash-green in
-# 798 s (eng 61.6 / orc 359.4 / cmp 92.0). It remains skipped on
-# --skew below, where the reason is different in kind.
+SCALE_SKIPS: dict[str, str] = {}
+# s02's uniform-gate skip was REMOVED in round 10: its oracle is now
+# the bounded bucketing replay (equality-tested against the retained
+# quadratic ground truth), so the ">20 min exact scan" reason is gone.
+# d03's was REMOVED in round 9: its stated reason ("diff cost is
+# harness-bound") died with the hash-multiset comparator — measured at
+# sf1 uniform: 130 853 276 rows hash-green in 798 s (eng 61.6 /
+# orc 359.4 / cmp 92.0). It remains skipped on --skew below, where the
+# reason is different in kind.
 #
 # Additional skips for --skew at sf>=0.5: queries whose OUTPUT is
 # combinatorially quadratic on a hot key — not an engine bottleneck
