@@ -2594,6 +2594,15 @@ def _curation_funnel(
             .alias("disp"),
         )
     )
+    # pre is referenced TWICE (survivors -> split assignment, and the
+    # final disposition join). Unpersisted, Spark executes the whole
+    # upstream funnel — LSH pair generation AND the contamination
+    # shingle join — once per reference (measured r10: 14.0 -> 10.4 s
+    # at sf0.1 from this barrier alone; guide §5 persist-when-reused).
+    # The frame is corpus-sized but 3 narrow columns (id, source,
+    # disposition tag), the standard funnel-ledger materialization.
+    pre = pre.persist()
+    pre.count()
     survivors = pre.where(F.col("disp").isNull()).select("doc_id", "source")
     splits = stratified_split(survivors, "doc_id", "source").select(
         F.col("id").alias("doc_id"), F.col("split")
@@ -2606,7 +2615,7 @@ def _curation_funnel(
             F.coalesce("disp", "split").alias("disposition"),
         )
     )
-    return hold(out, *getattr(pairs, "_persisted_inputs", []))
+    return hold(out, pre, *getattr(pairs, "_persisted_inputs", []))
 
 
 # Candidate budget for the guarded funnel: C(64,2) ≈ 2k pairs per LSH
