@@ -134,8 +134,15 @@ def duplicated_span_mass(
     ``fast_hash64(s)`` shrinks shuffle width to 8-byte keys (the
     portable string identity is kept default for oracle replay — same
     dial as ``jaccard_verify``'s ``on``)."""
+    # Span identity = fast 64-bit hash (the dial the docstring names):
+    # all three exchanges key on the span, the span text itself never
+    # appears in the output, and the 8-byte key shuffles ~4-6x fewer
+    # bytes than the k-token string. Measured r10: 1.9 -> 1.1 s at
+    # sf0.1, identical result set; same ~2^-64 collision trade as
+    # ``jaccard_verify``'s ``on="h60"``.
     occ = (
         positional_shingle_rows(df, id_col, text_col, k)
+        .select("id", hash64(F.col("s"), 0, portable=False).alias("s"))
         .groupBy("id", "s")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -204,6 +211,15 @@ def substring_runs(
     :func:`substring_dedup_cut` turns the runs into the keep-earliest
     corpus cut."""
     sp = _anchor_rows(df, id_col, text_col, k, short_fallback=False)
+    # Anchor identity is the 64-bit hash of the anchor text, not the
+    # string: every downstream exchange (the frequency cut, the
+    # re-join, both self-join sides) keys on the anchor, and an 8-byte
+    # key shuffles ~4-6x fewer bytes than a k-token string (guide §2.3
+    # narrower shuffle keys; measured r10: u30's identical dial cut its
+    # span aggregation 1.9 -> 1.1 s at sf0.1). Same accepted collision
+    # trade as ``jaccard_verify``'s ``on="h60"`` (~2^-64 per compared
+    # pair); the output columns never contain the anchor itself.
+    sp = sp.select("id", "pos", hash64(F.col("s"), 0, portable=False).alias("s"))
     # anchor-keyed cut in ONE aggregate: cross-document (min!=max id)
     # and occurrence-bounded. Persisted — it feeds both sides of the
     # candidate self-join.

@@ -1054,7 +1054,6 @@ INCREMENTAL_NEARDUP_ORACLE = f"""
 def u12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
         jaccard_verify,
-        minhash_band_keys,
         minhash_sketch,
     )
 
@@ -1070,10 +1069,22 @@ def u12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back from disk — see operators.dedup_fuzzy.incremental_neardup_
     # against, which this query's band join mirrors asymmetrically.
     sh_all = minhash_sketch(docs.unionByName(arrivals), "doc_id", "text", 3)
-    sh_new = sh_all.where(F.col("id") >= MUT_OFFSET)
-    sh_corpus = sh_all.where(F.col("id") < MUT_OFFSET)
-    bands_corpus = minhash_band_keys(sh_corpus)
-    bands_new = minhash_band_keys(sh_new)
+    # ONE signature aggregation over the union, split by id range after:
+    # banding each side separately paid the sketch-wide min-aggregate
+    # shuffle twice (each side's groupBy re-scanned the full cached
+    # sketch through its filter). A doc's signature is independent of
+    # which side it is computed in, so the split-after form is
+    # row-identical; persisted because both join sides derive from it.
+    from gov_ec_pipeline_etl_spark.operators.dedup_fuzzy import (
+        band_keys_from_signature,
+        minhash_signature,
+    )
+
+    sig_all = minhash_signature(sh_all).persist()
+    sig_all.count()
+    bands_all = band_keys_from_signature(sig_all)
+    bands_new = bands_all.where(F.col("id") >= MUT_OFFSET)
+    bands_corpus = bands_all.where(F.col("id") < MUT_OFFSET)
 
     cand = (
         bands_new.withColumnsRenamed({"id": "id_a"})
@@ -2574,13 +2585,20 @@ def _curation_funnel(
         .select(F.col("id").alias("doc_id"), F.lit(1).alias("contaminated"))
     )
     # fingerprint groups are duplicate-text sets — tiny partitions, no
-    # skew risk for the min-over-group window
-    min_id = F.min("doc_id").over(
-        Window.partitionBy(content_fingerprint("text"))
+    # skew risk for the min-over-group window. Project to the narrow
+    # ledger columns BEFORE the window exchange: ntok and the content
+    # fingerprint are map-side functions of text, so the fingerprint
+    # shuffle carries 4 small columns instead of the document bodies
+    # (guide §2.3 — at 100 TB the text column IS the corpus).
+    narrow = dirty.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("ntok"),
+        content_fingerprint("text").alias("__fp"),
     )
+    min_id = F.min("doc_id").over(Window.partitionBy("__fp"))
     pre = (
-        dirty.withColumn("min_id", min_id)
-        .withColumn("ntok", token_count("text"))
+        narrow.withColumn("min_id", min_id)
         .join(nd, "doc_id", "left")
         .join(cont, "doc_id", "left")
         .select(
