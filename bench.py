@@ -15,6 +15,15 @@ disabled for the bench session.
 Queries execute via the noop sink (full physical execution, nothing
 collected to the driver) — the honest measurement for an engine meant to
 write results out, not show them.
+
+Why 8-vs-32-core ratios are ~1 at sf0.1 (the driver's scaling probe):
+every sf0.1 table is ONE parquet file with ONE row group (documents 5 k
+rows / 0.6 MB, lineitem 600 k / 10 MB), so scans and all map-side work
+run as a single task at ANY core count; the residue is driver dispatch,
+which 8 cores do slightly cheaper. $SPARK_GRAFT_CPUS is honored
+(session.py builds local[$SPARK_GRAFT_CPUS]); the parallelism signal is
+only meaningful at sf>=1 — see SCALE_CORES_sf1.json for a heavy-tier
+core-scaling probe on multi-task inputs.
 """
 
 from __future__ import annotations

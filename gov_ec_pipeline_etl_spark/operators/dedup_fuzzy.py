@@ -130,10 +130,13 @@ def duplicated_span_mass(
     document frequency, one hash join back on the span (both sides come
     out of span-keyed exchanges, so AQE reuses the partitioning), one
     per-doc agg. All built-in expressions. At 100 TB the span-keyed
-    shuffle dominates; switching the join identity to
-    ``fast_hash64(s)`` shrinks shuffle width to 8-byte keys (the
-    portable string identity is kept default for oracle replay — same
-    dial as ``jaccard_verify``'s ``on``)."""
+    shuffle dominates, so the span identity IS the non-portable 64-bit
+    hash (``hash64(s, portable=False)``): 8-byte keys shuffle ~4-6x
+    fewer bytes than k-token strings. Oracle parity is unaffected —
+    the hash exists only as a join/groupBy key and never appears in
+    the output, and distinct spans colliding (~2^-64 per compared
+    pair) is the same accepted trade as ``jaccard_verify``'s
+    ``on="h60"`` dial."""
     # Span identity = fast 64-bit hash (the dial the docstring names):
     # all three exchanges key on the span, the span text itself never
     # appears in the output, and the 8-byte key shuffles ~4-6x fewer
@@ -379,7 +382,13 @@ def jaccard_verify(
     Per-document shingle identities are distinct by construction
     (``shingle_rows`` emits ``array_distinct`` shingles), so the set
     semantics of ``collect_set``/``array_intersect`` equal the old
-    multiset join modulo the same negligible collisions."""
+    multiset join modulo the same negligible collisions. The explicit
+    ``inter > 0`` filter preserves the rows-form contract at
+    ``threshold <= 0`` (its inner join dropped zero-overlap pairs; the
+    CLI exposes ``--threshold``, so the degenerate config is
+    reachable). Memory shape: one array buffer per document during the
+    ``collect_set`` — fine for shingle sketches (bounded by document
+    token count), not for unbounded multi-valued keys."""
     sets = rows.groupBy("id").agg(F.collect_set(on).alias("__hs"))
     return (
         cand.join(
@@ -392,7 +401,7 @@ def jaccard_verify(
             F.col("inter")
             / (F.size("__ha") + F.size("__hb") - F.col("inter")),
         )
-        .where(F.col("jaccard") >= threshold)
+        .where((F.col("inter") > 0) & (F.col("jaccard") >= threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 

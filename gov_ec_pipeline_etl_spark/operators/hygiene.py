@@ -119,12 +119,23 @@ def corpus_line_dedup(
     kept_md5 hashes the document rebuilt from its surviving lines in
     original order.
 
-    Scale shape: one explode, then TWO shuffles — a groupBy on the line
-    (map-side combine absorbs hot boilerplate lines; no per-line sort,
-    so a line owned by 30% of the corpus is an aggregate cell, not a
-    window straggler) and a groupBy on doc_id for reassembly. The
-    line-stats join is line-keyed against the just-aggregated table, so
-    AQE plans it off the same exchange."""
+    Scale shape (r11: the line TEXT never crosses an exchange — at
+    100 TB the exploded lines ARE the corpus, and the old form shuffled
+    them twice): the exploded rows carry only (doc_id, seg_idx,
+    xxhash64(line)) — 8-byte identities, the guide §2.3 keys-not-
+    payloads move, same accepted ~2⁻⁶⁴ collision trade as the span/
+    anchor identities of u30/u62. One hash-keyed groupBy counts lines
+    (map-side combine absorbs hot boilerplate; no per-line sort, so a
+    line owned by 30% of the corpus is an aggregate cell, not a window
+    straggler); the removal join is hash-keyed against the
+    just-aggregated table so AQE plans it off the same exchange, and
+    only REMOVED (doc_id, seg_idx) ints reach the per-doc aggregate.
+    Reassembly is MAP-SIDE: the removal-index lists join back to the
+    docs (broadcast when small — removed lines are the duplicated tail
+    of the corpus, not the corpus) and each doc re-derives its segments
+    from its own text and drops the removed indexes in one projection."""
+    from gov_ec_pipeline_etl_spark.caching import hold
+
     norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
     toks = F.split(norm, " ")
     nseg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("bigint")
@@ -134,32 +145,79 @@ def corpus_line_dedup(
             F.slice(toks, (i * seg_tokens + 1).cast("int"), seg_tokens), " "
         ),
     )
-    seg_rows = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("seg_idx", "seg")
+    # Persisted+materialized so the interpreted segment-assembly HOF
+    # runs ONCE (the stats aggregate and the removal probe are separate
+    # join branches — no CSE across them, and at small scale AQE
+    # broadcasts the stats side so they don't even share an exchange).
+    # 3 narrow columns; at 100 TB this is the same ledger-sized
+    # materialization as the dedup sketches.
+    seg_rows = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(segs).alias("seg_idx", "seg"),
+        )
+        .select("doc_id", "seg_idx", F.xxhash64("seg").alias("seg_h"))
+        .persist()
     )
-    stats = seg_rows.groupBy("seg").agg(
+    seg_rows.count()
+    stats = seg_rows.groupBy("seg_h").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc_id", "seg_idx")).alias("first"),
     )
-    keep = (F.col("cnt") < dup_threshold) | (
-        (F.col("doc_id") == F.col("first.doc_id"))
-        & (F.col("seg_idx") == F.col("first.seg_idx"))
+    removed_rows = seg_rows.join(
+        stats.where(F.col("cnt") >= dup_threshold), "seg_h"
+    ).where(
+        (F.col("doc_id") != F.col("first.doc_id"))
+        | (F.col("seg_idx") != F.col("first.seg_idx"))
     )
-    j = seg_rows.join(stats, "seg").withColumn("keep", keep)
-    kept_text = F.array_join(
+    removed = removed_rows.groupBy("doc_id").agg(
+        F.collect_set("seg_idx").alias("__rm")
+    )
+    # Map-side rebuild at TOKEN level: kept segments joined by " " are
+    # exactly the kept tokens joined by " " (each segment IS its tokens
+    # joined by " "), so the rebuild never re-derives the segment
+    # array. Docs with no removals — the overwhelming mass of a real
+    # corpus — take the when() fast path: md5 of the normalized text
+    # itself, pure codegen. Only removal docs pay the per-token index
+    # arithmetic, via array_except (one hash-set pass per doc, left-arg
+    # order preserved) instead of a per-element membership lambda.
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        nseg.alias("n_segs"),
+        norm.alias("__norm"),
+        toks.alias("__toks"),
+    ).where(F.col("__toks").isNotNull())  # null text exploded to no rows
+    ntok = F.size("__toks")
+    rm_tok = F.flatten(
         F.transform(
-            F.array_sort(
-                F.collect_list(F.when(F.col("keep"), F.struct("seg_idx", "seg")))
+            F.col("__rm"),
+            lambda r: F.sequence(
+                r * seg_tokens,
+                F.least(r * seg_tokens + (seg_tokens - 1), ntok - 1),
             ),
-            lambda x: x.seg,
-        ),
-        " ",
+        )
     )
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segs"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
-        F.md5(kept_text).alias("kept_md5"),
+    kept_tok_idx = F.array_except(
+        F.sequence(F.lit(0), ntok - F.lit(1)), rm_tok
     )
+    kept_text = F.array_join(
+        F.transform(kept_tok_idx, lambda i: F.get("__toks", i)), " "
+    )
+    kept_md5 = F.md5(
+        F.when(F.col("__rm").isNull(), F.col("__norm")).otherwise(kept_text)
+    )
+    out = (
+        base.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce(F.size("__rm"), F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+            kept_md5.alias("kept_md5"),
+        )
+    )
+    return hold(out, seg_rows)
 
 
 EDIT_OFFSET = 7_000_000  # planted-variant id space (MUT_OFFSET is 1M)

@@ -1095,11 +1095,17 @@ def u12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return jaccard_verify(cand, sh_all, 0.5, on="h60").select(
+    from gov_ec_pipeline_etl_spark.caching import hold
+
+    out = jaccard_verify(cand, sh_all, 0.5, on="h60").select(
         F.col("id_a").alias("new_id"),
         F.col("id_b").alias("corpus_id"),
         "jaccard",
     )
+    # register the persisted frames so runners can unpersist via the
+    # _persisted_inputs convention (ADVICE r10: sig_all leaked until
+    # clearCache) — minhash_sketch's own persist rides along in sh_all.
+    return hold(out, sig_all, sh_all)
 
 
 @register(

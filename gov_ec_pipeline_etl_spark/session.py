@@ -54,6 +54,21 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "64",
     # 128 MB split targets keep scan tasks balanced on wide parquet.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Whole-stage-codegen class cache (driver AND executors compile the
+    # generated source per JVM). The default (100 entries) thrashes as
+    # soon as one session runs more than a handful of distinct plans:
+    # this engine's 41-query bench re-executes ~1-2k codegen fragments
+    # per pass, so every execution Janino-RECOMPILED byte-identical
+    # source and the resulting class-loading churn deoptimized other
+    # queries' JIT-compiled methods (measured r11: 105 s of JIT
+    # recompilation per bench pass, u31's exec leg 2.2 s -> 0.76 s and
+    # the 6-query heavy probe 35.3 -> 26.7 s once the cache fits the
+    # working set; C1-only JIT measured WORSE, 47.1 s). Compiled-code
+    # memoization only — same class as the JIT itself, never data or
+    # results. Cost: bounded metaspace for up to 4096 compiled classes;
+    # right trade for any long-lived driver/executor running a multi-
+    # operator pipeline, exactly the 100 TB deployment shape.
+    "spark.sql.codegen.cache.maxEntries": "4096",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # The oracle gate collects full results for the DuckDB diff; at sf1

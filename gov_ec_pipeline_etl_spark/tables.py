@@ -53,16 +53,29 @@ def table_rows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-# Resolved schema per absolute table path. Schema inference costs a
-# footer read + analysis round trip per spark.read (~72 ms warm vs
-# ~12 ms with an explicit schema, measured r10); a query touching four
-# tables paid ~0.25 s of pure metadata before its first job. This is
-# metadata memoization — the same class of caching Spark's own
+# Resolved schema per (absolute path, mtime_ns, size). Schema inference
+# costs a footer read + analysis round trip per spark.read (~72 ms warm
+# vs ~12 ms with an explicit schema, measured r10); a query touching
+# four tables paid ~0.25 s of pure metadata before its first job. This
+# is metadata memoization — the same class of caching Spark's own
 # session-level FileStatusCache does — never result caching: every read
-# still scans the parquet data. Keyed on absolute path; test fixtures
-# write to unique tmp dirs, and a regenerated table at the same path
-# keeps its schema by construction (gen_testdata is deterministic).
-_SCHEMA_CACHE: dict[str, "object"] = {}
+# still scans the parquet data. The stat stamp in the key invalidates
+# the entry when a table is REWRITTEN at the same path with a different
+# schema (ADVICE r10: the bare-path key silently applied the stale
+# schema — missing columns became nulls instead of erroring); a rewrite
+# always changes mtime_ns, and stale entries for dead stamps are
+# harmless (the dict is bounded by distinct table files per process).
+_SCHEMA_CACHE: dict[tuple[str, int, int], "object"] = {}
+
+
+def _schema_key(path: str) -> tuple[str, int, int]:
+    st = os.stat(path)
+    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+
+
+def clear_schema_cache() -> None:
+    """Drop every memoized schema (tests that regenerate data in place)."""
+    _SCHEMA_CACHE.clear()
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -85,7 +98,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = table_path(sf_dir, name)
-    key = os.path.abspath(path)
+    key = _schema_key(path)
     cached = _SCHEMA_CACHE.get(key)
     if cached is not None:
         # NTZ normalization already folded into the cached schema (the

@@ -485,3 +485,29 @@ def test_u67_top10_is_take_ordered_not_window(spark):
     plan = _plan(spark, "u67_skew_audit")
     assert "TakeOrderedAndProject" in plan, plan[:800]
     assert "Window" not in plan, plan[:800]
+
+
+def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """A table REWRITTEN at the same path with a different schema must be
+    read with the new schema (ADVICE r10: the bare-path cache key applied
+    the stale schema silently, nulling the missing columns)."""
+    import os
+    import time
+
+    from gov_ec_pipeline_etl_spark.tables import read_table
+
+    d = str(tmp_path / "regen_sf")
+    p = os.path.join(d, "documents.parquet")
+    spark.createDataFrame([(1, "a")], "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    first = read_table(spark, d, "documents")
+    assert set(first.columns) == {"doc_id", "text"}
+    # mtime_ns resolution is filesystem-dependent; ensure the stamp moves
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [(1, "a", "en")], "doc_id bigint, text string, lang string"
+    ).write.mode("overwrite").parquet(p)
+    again = read_table(spark, d, "documents")
+    assert set(again.columns) == {"doc_id", "text", "lang"}
+    assert again.where("lang is not null").count() == 1

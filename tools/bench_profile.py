@@ -51,6 +51,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = {n: q for n, q in sorted(all_queries().items()) if q.bench}
     if args.queries:
+        unknown = [n for n in args.queries if n not in qs]
+        if unknown:
+            sys.exit(
+                f"unknown bench queries: {unknown}; choose from "
+                f"{sorted(qs)}"
+            )
         qs = {n: qs[n] for n in args.queries}
 
     plan_dir = os.path.join(REPO, "plans", args.tag)
@@ -59,7 +65,10 @@ def main() -> None:
 
     results = {}
     for name, q in qs.items():
-        spark.sparkContext.setJobDescription(name)
+        # fresh job group per query: getJobIdsForGroup counts within the
+        # group, so the spark.ui.retainedJobs cap (default 1000) can't
+        # make long runs under-count (ADVICE r10)
+        spark.sparkContext.setJobGroup(f"profile:{name}", name)
         # cold leg (includes codegen/JIT) — run once untimed to warm
         df = q.spark(spark, args.sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -74,10 +83,10 @@ def main() -> None:
             t1 = time.perf_counter()
             _ = df.schema
             t2 = time.perf_counter()
-            jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+            jobs_before = len(tracker.getJobIdsForGroup(f"profile:{name}") or [])
             df.write.format("noop").mode("overwrite").save()
             t3 = time.perf_counter()
-            jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+            jobs_after = len(tracker.getJobIdsForGroup(f"profile:{name}") or [])
             rec = {
                 "build_s": round(t1 - t0, 3),
                 "analyze_s": round(t2 - t1, 3),
