@@ -17,7 +17,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from gov_ec_pipeline_etl_spark.plans.util import T
-from gov_ec_pipeline_etl_spark.streaming.staging import session_staging_dir
+from gov_ec_pipeline_etl_spark.streaming.staging import (
+    session_staging_dir,
+    state_partitions_for,
+)
+from gov_ec_pipeline_etl_spark.tables import table_rows
 
 
 def tumbling_window_agg(events: DataFrame) -> DataFrame:
@@ -51,15 +55,16 @@ def run_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.schema(events.schema).parquet(staging)
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        tumbling_window_agg(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions_for(spark, table_rows(sf_dir, "events")):
+        q = (
+            tumbling_window_agg(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -107,16 +112,17 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.schema(events.schema).parquet(staging)
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_dedup(stream)
-        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions_for(spark, 2 * table_rows(sf_dir, "events")):
+        q = (
+            streaming_dedup(stream)
+            .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -173,15 +179,16 @@ def run_sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.write.mode("overwrite").parquet(staging)
     stream = spark.readStream.schema(events.schema).parquet(staging)
     name = f"sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        sliding_window_agg(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions_for(spark, table_rows(sf_dir, "events")):
+        q = (
+            sliding_window_agg(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -279,15 +286,16 @@ def run_attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
     )
     name = f"attr_{uuid.uuid4().hex[:8]}"
-    q = (
-        attribution_join(clicks, purchases)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions_for(spark, table_rows(sf_dir, "events")):
+        q = (
+            attribution_join(clicks, purchases)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -332,13 +340,15 @@ def run_capped_attribution_stream(
     clicks = spark.readStream.schema(events.schema).parquet(staging + "_c")
     purchases = spark.readStream.schema(events.schema).parquet(staging + "_p")
     name = f"cattr_{uuid.uuid4().hex[:8]}"
-    q = (
-        attribution_join(clicks, purchases)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # capped replay: at most k rows per user per side reach the join
+    with state_partitions_for(spark, table_rows(sf_dir, "events")):
+        q = (
+            attribution_join(clicks, purchases)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

@@ -28,7 +28,10 @@ from pyspark.sql.types import (
 )
 
 from gov_ec_pipeline_etl_spark.plans.util import T
-from gov_ec_pipeline_etl_spark.streaming.staging import session_staging_dir
+from gov_ec_pipeline_etl_spark.streaming.staging import (
+    session_staging_dir,
+    state_partitions_for,
+)
 
 STATE_SCHEMA = StructType(
     [
@@ -99,15 +102,18 @@ def run_user_counters(
         .parquet(staging)
     )
     name = f"counters_{uuid.uuid4().hex[:8]}"
-    q = (
-        user_counters_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from gov_ec_pipeline_etl_spark.tables import table_rows
+
+    with state_partitions_for(spark, table_rows(sf_dir, "events")):
+        q = (
+            user_counters_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update-mode memory sink appends one row per key per batch → keep the
     # final (cumulative) row per user: the one with max n_events
     all_rows = spark.table(name)
@@ -215,22 +221,25 @@ def run_streaming_sessionize(
         .parquet(staging)
     )
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.groupBy("user_id")
-        .applyInPandasWithState(
-            _update_user_sessions,
-            outputStructType=SESSION_OUTPUT_SCHEMA,
-            stateStructType=SESSION_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    from gov_ec_pipeline_etl_spark.tables import table_rows
+
+    with state_partitions_for(spark, table_rows(sf_dir, "events")):
+        q = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                _update_user_sessions,
+                outputStructType=SESSION_OUTPUT_SCHEMA,
+                stateStructType=SESSION_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     from pyspark.sql import Window
 
     all_rows = spark.table(name)
